@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize imports jax and pins jax_platforms before conftest
+# runs; override it back to CPU for the test suite.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+
 import numpy as np
 import pytest
 
