@@ -2,24 +2,28 @@
 
 The DP step `T1[t][s] = max_s' (T1[t-1][s'] + B[s, s']) + log b_t[s]` is a
 max-plus "matmul" row: a broadcast add of the carry row over the resident
-transition matrix followed by a lane-axis max/first-argmax. The reference's
-hot loop (dcnet/softmax_viterbi.py:2475-2479, and its Numba-AOT native
-module dcnet/aot_viterbi_core.py) becomes two kernels:
+transition matrix followed by a lane-axis max. The reference's hot loop
+(dcnet/softmax_viterbi.py:2475-2479, and its Numba-AOT native module
+dcnet/aot_viterbi_core.py) becomes two kernels:
 
-  forward  — grid over time chunks; log B stays resident in VMEM; the T1
-             carry row lives in a VMEM scratch that persists across grid
-             steps; observation rows stream HBM->VMEM; int16 backpointers
-             stream VMEM->HBM. Frames are processed in statically-unrolled
-             groups of 16 so backpointer stores hit sublane-aligned tiles.
-  backtrace — grid over time chunks in REVERSE; the pointer chase
-             s_{t-1} = T2[t][s_t] is evaluated as a one-hot dot on the VPU
-             (no scalar gathers); the chunk-boundary state is carried in
-             SMEM scratch.
+  forward  — grid over time chunks; log B resident in VMEM; the T1 carry row
+             is a register value within a chunk and persists across chunks in
+             VMEM scratch. Stores NO backpointers: it streams the (shifted)
+             T1 rows to HBM instead, which removes the argmax passes (the
+             most expensive part of the classic formulation) from the
+             sequential hot loop entirely.
+  backtrace — grid over time chunks in REVERSE. The backpointer for frame t
+             is reconstructed on the fly from the stored row:
+             s_{t-1} = first-argmax_{s'} (T1[t-1][s'] + B[s_t, s']), where
+             the B row is gathered with a one-hot MXU product. This is
+             bit-identical to materializing backpointers in the forward
+             pass, because the candidate row is exactly the score row the
+             forward pass reduced.
 
 State counts are padded to lane multiples (321/361 -> 384, 722 -> 768) with
-NEG_PAD rows/cols so padded states can never win an argmax. Tie-breaking is
-first-max (computed as min-index-over-equal-max), bit-identical to np.argmax
-and to `oracle.viterbi_oracle` — the same cross-implementation equality the
+NEG_PAD rows/cols so padded states can never win a max. Tie-breaking is
+first-max (min-index-over-equal-max), bit-identical to np.argmax and to
+`oracle.viterbi_oracle` — the same cross-implementation equality the
 reference asserts between its native and Python decoders
 (dcnet/tf_viterbi_decoding.py:284).
 """
@@ -37,9 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .viterbi import NEG_PAD, TINY, prepare_log_params
 
 LANE = 128
-# Frames per statically-unrolled inner group: int16 VMEM tiles are
-# (16, 128), so groups of 16 keep every dynamic sublane offset aligned.
+# Frames per statically-unrolled inner group: float32 VMEM tiles are
+# (8, 128); groups of 16 keep dynamic sublane offsets aligned for both f32
+# and any 16-bit auxiliary stores.
 GROUP = 16
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -50,76 +56,75 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _forward_kernel(T_ref, obs_ref, logB_ref, logpi_ref, t2_ref, t1_last_ref, carry):
-    """One time-chunk of the forward DP.
+def _forward_kernel(T_ref, obs_ref, logA_ref, logpi_ref, t1m1_ref, t1_last_ref, carry):
+    """One time-chunk of the forward DP (max only, no argmax).
+
+    Sublane-reduction layout: the carry row is transposed to a column each
+    frame and added to the UNtransposed log A (scores[s', s]); the max then
+    reduces over the sublane axis, which lowers to vreg-accumulate maxes
+    instead of the costlier lane shuffle trees.
 
     T_ref: scalar-prefetch [1] int32 — true (unpadded) number of frames.
     obs_ref: [L, P] f32 log-observations for this chunk (VMEM).
-    logB_ref: [P, P] f32 log(A.T) (VMEM, resident).
+    logA_ref: [P, P] f32 log(A) (VMEM, resident), logA[s', s].
     logpi_ref: [1, P] f32 log initial probs.
-    t2_ref: [L, P] backpointers out.
-    t1_last_ref: [1, P] f32 final T1 row out.
-    carry: VMEM scratch [1, P] f32 — T1 row, persists across grid steps.
-
-    Frame updates are fully predicated (jnp.where) so the loop body is
-    branch-free: frames past T leave the carry unchanged, frame 0 loads the
-    initial distribution.
+    t1m1_ref: [L, P] f32 out — SHIFTED T1: row j holds T1[t-1] for t = base+j
+              (exactly what the backtrace needs; row for t=0 is zeros).
+    t1_last_ref: [1, P] f32 out — final T1 row.
+    carry: VMEM scratch [1, P] f32 — persists across grid steps.
     """
     chunk = pl.program_id(0)
     L, P = obs_ref.shape
     base_t = chunk * L
     T = T_ref[0]
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, P), 0)
 
-    def group(g, _):
+    def group(g, prev):  # prev: [1, P]
         j0 = pl.multiple_of(g * GROUP, GROUP)
         obs_blk = obs_ref[pl.ds(j0, GROUP), :]  # [G, P]
-        buf = jnp.zeros((GROUP, P), jnp.int32)
+        buf = jnp.zeros((GROUP, P), jnp.float32)
         for k in range(GROUP):
             t = base_t + j0 + k
-            obs_j = obs_blk[k, :]
-            prev = carry[0, :]
-            scores = prev[None, :] + logB_ref[:, :]  # [s, s']
-            m = jnp.max(scores, axis=1)
-            eq = scores == m[:, None]
-            bp = jnp.min(jnp.where(eq, col_idx, P), axis=1)
+            obs_j = obs_blk[k, :][None, :]
             is_first = t == 0
             active = t < T
-            new_carry = jnp.where(
+            # row j stores T1[t-1] (zeros for t == 0, where it is unused)
+            buf = jnp.where(row_iota == k, jnp.where(is_first, 0.0, prev), buf)
+            scores = jnp.transpose(prev) + logA_ref[:, :]  # [s', s]
+            m = jnp.max(scores, axis=0, keepdims=True)  # [1, P]
+            prev = jnp.where(
                 is_first,
-                logpi_ref[0, :] + obs_j,
+                logpi_ref[0, :][None, :] + obs_j,
                 jnp.where(active, m + obs_j, prev),
             )
-            carry[0, :] = new_carry
-            bp_row = jnp.where(is_first, 0, bp)
-            buf = jnp.where(row_iota == k, bp_row[None, :], buf)
-        t2_ref[pl.ds(j0, GROUP), :] = buf.astype(t2_ref.dtype)
-        return 0
+        t1m1_ref[pl.ds(j0, GROUP), :] = buf
+        return prev
 
-    jax.lax.fori_loop(0, L // GROUP, group, 0, unroll=False)
+    prev = jax.lax.fori_loop(0, L // GROUP, group, carry[:, :], unroll=False)
+    carry[:, :] = prev
 
     @pl.when(chunk == pl.num_programs(0) - 1)
     def _():
-        t1_last_ref[0, :] = carry[0, :]
+        t1_last_ref[:, :] = prev
 
 
-def _backtrace_kernel(T_ref, init_state_ref, t2_ref, states_ref, s_carry):
-    """One time-chunk (reverse order) of the pointer chase.
+def _backtrace_kernel(T_ref, init_state_ref, t1m1_ref, logB_ref, states_ref, s_carry):
+    """One time-chunk (reverse order) of the backpointer-free pointer chase.
 
-    t2_ref: [L, P] backpointers for ORIGINAL chunk c = n_chunks-1-i; groups
-    of 16 rows are loaded at aligned sublane offsets and the chase
-    s_{t-1} = T2[t][s_t] is a one-hot masked sum on the VPU.
-    states_ref: [1, 8, L] int32 decoded states for this chunk (the row is
-    replicated over the 8 sublanes to satisfy TPU store tiling; the caller
-    reads sublane 0).
-    s_carry: SMEM scratch [1] int32 — state at the last valid frame of the
-             chunk currently being processed; persists across grid steps.
+    For each frame t (descending): emit s_t, then reconstruct
+    s_{t-1} = first-argmax_{s'} (T1[t-1][s'] + B[s_t, s']) from the stored
+    shifted row t1m1[t] and the one-hot-gathered B row.
+
+    t1m1_ref: [L, P] f32 rows for ORIGINAL chunk c = n_chunks-1-i.
+    logB_ref: [P, P] f32 resident.
+    states_ref: [1, 8, L] int32 out (row replicated over 8 sublanes for
+                store tiling; caller reads sublane 0).
+    s_carry: SMEM scratch [1] int32 — persists across grid steps.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
     c = n - 1 - i
-    L, P = t2_ref.shape
+    L, P = t1m1_ref.shape
     base_t = c * L
     T = T_ref[0]
 
@@ -135,7 +140,7 @@ def _backtrace_kernel(T_ref, init_state_ref, t2_ref, states_ref, s_carry):
         s, states_row = acc
         g = (n_groups - 1) - gi
         j0 = pl.multiple_of(g * GROUP, GROUP)
-        block = t2_ref[pl.ds(j0, GROUP), :].astype(jnp.int32)  # [G, P]
+        block = t1m1_ref[pl.ds(j0, GROUP), :]  # [G, P]
         for k in reversed(range(GROUP)):
             j = j0 + k
             t = base_t + j
@@ -143,9 +148,14 @@ def _backtrace_kernel(T_ref, init_state_ref, t2_ref, states_ref, s_carry):
             states_row = jnp.where(
                 jnp.logical_and(active, lane_L == j), s, states_row
             )
-            row_k = block[k, :][None, :]
-            chased = jnp.sum(jnp.where(lane_P == s, row_k, 0))
-            s = jnp.where(active, chased, s)
+            # gather B[s, :] (transitions INTO state s) with an exact
+            # dynamic-row load (MXU one-hot products round through bf16 and
+            # break bit-exactness vs the forward pass)
+            b_row = logB_ref[pl.ds(s, 1), :]  # [1, P]
+            cand = block[k, :][None, :] + b_row
+            m = jnp.max(cand)
+            bp = jnp.min(jnp.where(cand == m, lane_P, P))
+            s = jnp.where(active, bp, s)
         return (s, states_row)
 
     init = (s_carry[0], jnp.zeros((1, L), jnp.int32))
@@ -156,7 +166,7 @@ def _backtrace_kernel(T_ref, init_state_ref, t2_ref, states_ref, s_carry):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_frames", "t2_dtype", "interpret", "take_log"),
+    static_argnames=("block_frames", "interpret", "take_log"),
 )
 def viterbi_forward_pallas(
     log_B,
@@ -165,7 +175,6 @@ def viterbi_forward_pallas(
     T,
     *,
     block_frames: int = 512,
-    t2_dtype=jnp.int16,
     interpret: bool | None = None,
     take_log: bool = False,
 ):
@@ -177,7 +186,8 @@ def viterbi_forward_pallas(
         take_log=True), T_pad a multiple of block_frames.
     T: true frame count (traced scalar ok).
 
-    Returns (t1_last [P] f32, t2 [T_pad, P] t2_dtype).
+    Returns (t1_last [P] f32, t1m1 [T_pad, P] f32) where t1m1[t] = T1[t-1]
+    (t1m1[0] is zeros and unused).
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -209,38 +219,47 @@ def viterbi_forward_pallas(
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
     )
 
-    t2, t1_last = pl.pallas_call(
+    t1m1, t1_last = pl.pallas_call(
         _forward_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T_pad, P), t2_dtype),
+            jax.ShapeDtypeStruct((T_pad, P), jnp.float32),
             jax.ShapeDtypeStruct((1, P), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=3 * T_pad * P * P, bytes_accessed=T_pad * P * 6, transcendentals=0
+            flops=2 * T_pad * P * P, bytes_accessed=T_pad * P * 8, transcendentals=0
         ),
     )(
         jnp.asarray([T], jnp.int32),
         obs_padded.astype(jnp.float32),
-        log_B.astype(jnp.float32),
+        jnp.transpose(log_B.astype(jnp.float32)),  # kernel wants log A
         log_pi.astype(jnp.float32)[None, :],
     )
-    return t1_last[0], t2
+    return t1_last[0], t1m1
 
 
 @functools.partial(jax.jit, static_argnames=("block_frames", "interpret"))
 def viterbi_backtrace_pallas(
-    t2, last_state, T, *, block_frames: int = 512, interpret: bool | None = None
+    t1m1,
+    log_B,
+    last_state,
+    T,
+    *,
+    block_frames: int = 512,
+    interpret: bool | None = None,
 ):
-    """Pointer chase over the backpointer table, reverse chunk order.
+    """Reverse pointer chase with on-the-fly backpointer reconstruction.
 
-    t2: [T_pad, P]; last_state: scalar int32; returns states [T_pad] int32
-    (entries >= T are garbage; slice [:T] on the host).
+    t1m1: [T_pad, P] f32 shifted T1 rows from the forward pass.
+    log_B: [P, P] f32 (same operand as the forward pass).
+    last_state: scalar int32 (argmax of the final T1 row).
+    Returns states [T_pad] int32 (entries >= T are garbage; slice [:T]).
     """
     if interpret is None:
         interpret = _use_interpret()
-    T_pad, P = t2.shape
+    T_pad, P = t1m1.shape
     assert T_pad % block_frames == 0 and block_frames % GROUP == 0
     n_chunks = T_pad // block_frames
 
@@ -253,6 +272,7 @@ def viterbi_backtrace_pallas(
                 lambda i, *_: (n_chunks - 1 - i, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((P, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -269,10 +289,12 @@ def viterbi_backtrace_pallas(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_chunks, 8, block_frames), jnp.int32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(
         jnp.asarray([T], jnp.int32),
         jnp.asarray([last_state], jnp.int32),
-        t2,
+        t1m1,
+        log_B.astype(jnp.float32),
     )[0]
     return states[:, 0, :].reshape(-1)
 
@@ -308,8 +330,9 @@ def viterbi_decode_pallas(
     log_obs = np.log(obs + TINY)  # NumPy log: bit-identical to the oracle
     log_obs[:, S:] = NEG_PAD
 
-    t1_last, t2 = viterbi_forward_pallas(
-        jnp.asarray(log_B),
+    log_B_d = jnp.asarray(log_B)
+    t1_last, t1m1 = viterbi_forward_pallas(
+        log_B_d,
         jnp.asarray(log_pi),
         jnp.asarray(log_obs),
         T,
@@ -319,6 +342,6 @@ def viterbi_decode_pallas(
     t1_host = np.asarray(t1_last)[:S]
     last_state = int(np.argmax(t1_host))
     states = viterbi_backtrace_pallas(
-        t2, last_state, T, block_frames=block_frames, interpret=interpret
+        t1m1, log_B_d, last_state, T, block_frames=block_frames, interpret=interpret
     )
     return np.asarray(states[:T], np.int64)
