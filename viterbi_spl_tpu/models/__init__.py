@@ -1,0 +1,21 @@
+from .targets import (
+    dcnet_loss,
+    gaussian_blur_targets,
+    jdc_loss,
+    softmax_smoothed_loss,
+)
+from .dcnet import DCNet
+from .msnet import MSNet
+from .ftanet import FTANet
+from .jdc import JDC
+
+__all__ = [
+    "DCNet",
+    "MSNet",
+    "FTANet",
+    "JDC",
+    "gaussian_blur_targets",
+    "dcnet_loss",
+    "softmax_smoothed_loss",
+    "jdc_loss",
+]
