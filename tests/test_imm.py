@@ -1,0 +1,133 @@
+"""IMM NMF tests: dictionaries, IS-divergence descent, Wiener energies
+vectorization vs per-bin oracle, voicing detection, end-to-end chain."""
+
+import numpy as np
+import pytest
+
+from viterbi_spl_tpu.models.imm import (
+    IMM,
+    IMMConfig,
+    gen_WF0,
+    gen_WGAMMA,
+    klglott88_spectrum,
+)
+
+SMALL = IMMConfig(w=512, h=64, niters=12, R=6, P=8, K=4, bins_per_note=4)
+
+
+@pytest.fixture(scope="module")
+def imm_small():
+    return IMM(SMALL)
+
+
+def synth(rng, n, sr=44100, f0=220.0):
+    t = np.arange(n) / sr
+    y = sum((0.6 / k) * np.sin(2 * np.pi * f0 * k * t) for k in range(1, 6))
+    return (y + 0.02 * rng.normal(size=n)).astype(np.float32)
+
+
+def test_config_defaults():
+    cfg = IMMConfig()
+    assert cfg.F == 1025
+    assert cfg.U == 721  # 100..800 Hz at 20 bins/semitone
+
+
+def test_wgamma_structure():
+    W = gen_WGAMMA(1025, 30, 0.75)
+    assert W.shape == (1025, 30)
+    assert np.all(W >= 0) and W.max() <= 1.0
+    # overlapping bases: most frequencies covered by several bases
+    coverage = (W > 0).sum(axis=1)
+    assert np.median(coverage) >= 2
+
+
+def test_wf0_dictionary():
+    f0s, WF0 = gen_WF0(SMALL)
+    assert WF0.shape == (SMALL.F, SMALL.U)
+    np.testing.assert_allclose(WF0.max(axis=0), 1.0, rtol=1e-6)
+    # harmonic comb: the spectrum for f0 has a peak near f0's bin
+    spec = klglott88_spectrum(200.0, 44100, 2048, 0.25)
+    bin_200 = int(round(200.0 / (44100 / 2048)))
+    peak = int(np.argmax(spec[: 2 * bin_200]))
+    assert abs(peak - bin_200) <= 2
+
+
+def test_nmf_is_divergence_decreases(rng, imm_small):
+    y = synth(rng, 44100 // 2)
+    SX = np.abs(np.asarray(imm_small.stft.stft(y))) ** 2
+    import jax.numpy as jnp
+
+    SXd = jnp.asarray(SX, jnp.float32).T
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    cfg = imm_small.config
+    N = SXd.shape[1]
+    state = [
+        jnp.abs(jax.random.normal(ks[0], (cfg.P, cfg.K))),
+        jnp.abs(jax.random.normal(ks[1], (cfg.K, N))),
+        jnp.abs(jax.random.normal(ks[2], (cfg.U, N))),
+        jnp.abs(jax.random.normal(ks[3], (cfg.F, cfg.R))),
+        jnp.abs(jax.random.normal(ks[4], (cfg.R, N))),
+    ]
+    errs = []
+    for _ in range(6):
+        tup, aux, err = imm_small._iter_fn(SXd, *state)
+        state = list(tup)
+        errs.append(float(err))
+    assert errs[-1] < errs[0]
+    assert all(np.isfinite(errs))
+
+
+def test_energies_match_per_bin_oracle(rng, imm_small):
+    y = synth(rng, 44100 // 4)
+    SX = np.abs(np.asarray(imm_small.stft.stft(y))) ** 2
+    result = imm_small.fit(SX, seed=0)
+    E = imm_small.energies_for_f0s(result, SX)
+    U, N = E.shape
+    assert U == imm_small.config.U
+
+    # per-bin oracle (the reference's loop, imm/tf_imm.py:636-657)
+    WF0 = imm_small.WF0
+    HF0 = np.asarray(result["HF0"])
+    SPHI = np.asarray(result["SPHI"])
+    hatSX = np.asarray(result["hatSX"]) + imm_small.config.eps
+    SXt = SX.T
+    for u in (0, U // 2, U - 1):
+        uSF0 = HF0[u, :][None, :] * WF0[:, u][:, None]
+        SV = SPHI * uSF0
+        expected = (((SV / hatSX) ** 2) * SXt).sum(axis=0)
+        np.testing.assert_allclose(E[u], expected, rtol=2e-2, atol=1e-10)
+
+
+def test_full_melody_chain(rng, imm_small):
+    """samples -> NMF -> HF0 viterbi (analytic transition) -> voicing ->
+    f0 output; the detected melody should sit near the synthetic f0."""
+    from viterbi_spl_tpu.hmm.viterbi import viterbi_forward_jax, viterbi_backtrace_jax
+    import jax.numpy as jnp
+
+    cfg = imm_small.config
+    y = synth(rng, 44100 // 2, f0=220.0)
+    SX = np.abs(np.asarray(imm_small.stft.stft(y))) ** 2
+    result = imm_small.fit(SX, seed=0)
+
+    log_obs = imm_small.process_HF0(np.asarray(result["HF0"]))  # [U+1, N]
+    A = imm_small.transition_matrix
+    log_B = np.log(A.T).astype(np.float32)
+    log_pi = np.full(cfg.U + 1, -np.log(cfg.U + 1), np.float32)
+    t1_last, T2 = viterbi_forward_jax(
+        jnp.asarray(log_B), jnp.asarray(log_pi), jnp.asarray(log_obs.T)
+    )
+    states = np.asarray(
+        viterbi_backtrace_jax(T2, jnp.argmax(t1_last).astype(jnp.int32))
+    )
+    voicing = imm_small.voicing_detection(SX, result, states.astype(np.int64))
+    f0s = imm_small.melody_f0s(states, voicing)
+    voiced_f0s = f0s[f0s > 0]
+    assert len(voiced_f0s) > 0
+    median = np.median(voiced_f0s)
+    # the tiny NMF config may lock onto a sub/super-octave of the true f0
+    # (glottal comb ambiguity); require chroma agreement with 220 Hz
+    chroma_err = abs(((np.log2(median / 220.0) + 0.5) % 1.0) - 0.5) * 12
+    assert chroma_err < 1.0, f"median f0 {median:.1f} chroma-off by {chroma_err:.2f} st"

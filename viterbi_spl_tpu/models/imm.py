@@ -1,0 +1,309 @@
+"""IMM — Durrieu's source/filter NMF melody model, pure jnp.
+
+Re-design of imm/tf_imm.py (mono melody chain):
+  hatSX = (WGAMMA @ HGAMMA @ HPHI) * (WF0 @ HF0) + WM @ HM
+with multiplicative Itakura-Saito updates for HF0, HPHI, HM, HGAMMA, WM per
+iteration (exact update order and renormalizations of tf_imm_fn,
+imm/tf_imm.py:205-352), 100 iterations with patience-2 early stopping on
+the IS divergence. All updates are dense matmuls -> MXU.
+
+Dictionaries:
+- WF0: KLGLOTT88 glottal-flow spectra per f0 on a 20-bins-per-semitone grid
+  100..800 Hz (U=721), column-max normalized (imm/wf0.py:4-59,
+  imm/tf_imm.py:168-188),
+- WGAMMA: 75%-overlapping Hann filterbank, P=30 bases (imm/wgamma.py:4-41).
+
+Melody outputs:
+- `energies_for_f0s` — per-bin Wiener energies, vectorized to one matmul
+  (the reference loops u=0..720, imm/tf_imm.py:636-657),
+- `logits` — log10 energies + 6 over the 721-bin grid (:659-678),
+- `process_HF0` — log-HF0 observations for the "original" decode (:71-88),
+- `voicing_detection` — melody-band Wiener energies + cumulative-energy
+  threshold 5.84e-4 (:705-756).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend.stft import SinebellSTFT
+from ..hmm.params import imm_transition_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class IMMConfig:
+    w: int = 2048
+    h: int = 256
+    fs: int = 44100
+    niters: int = 100
+    patient_iters: int = 2
+    R: int = 40  # accompaniment bases
+    P: int = 30  # filterbank bases
+    K: int = 10  # filter shapes
+    fmin: float = 100.0
+    fmax: float = 800.0
+    bins_per_note: int = 20
+    Oq: float = 0.25
+    eps: float = 1e-20
+
+    @property
+    def F(self) -> int:
+        return self.w // 2 + 1
+
+    @property
+    def U(self) -> int:
+        u = 12 * self.bins_per_note * np.log2(self.fmax / self.fmin)
+        return int(np.ceil(u)) + 1
+
+
+def klglott88_spectrum(f0: float, fs: int, n_samples: int, Oq: float) -> np.ndarray:
+    """Power spectrum of a KLGLOTT88 glottal pulse train windowed by a
+    sinebell (imm/wf0.py:18-59, constant-E variant)."""
+    j2pi = 1j * 2 * np.pi
+    n_hs = int(np.floor(fs / 2.0 / f0))
+    s = j2pi * np.arange(1, n_hs + 1) * Oq
+    one_over_s = 1.0 / s
+    ems = np.exp(-s)
+    chs = Oq * one_over_s * (
+        ems + 2.0 * (1.0 + 2.0 * ems) * one_over_s - 6.0 * (1.0 - ems) * one_over_s**2
+    )
+    ts = np.arange(n_samples)
+    hf0t = (np.arange(1, n_hs + 1) * (f0 / float(fs)))[:, None] * ts[None, :]
+    waveform = (chs.real[:, None] * np.cos(2 * np.pi * hf0t)) - (
+        chs.imag[:, None] * np.sin(2 * np.pi * hf0t)
+    )
+    waveform = waveform.sum(axis=0)
+    window = np.sin(np.pi * np.arange(n_samples) / n_samples)
+    return np.abs(np.fft.rfft(waveform * window)) ** 2
+
+
+def gen_WF0(config: IMMConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(f0 grid [U], WF0 [F, U] column-max-normalized)."""
+    f0s = config.fmin * 2.0 ** (
+        np.arange(config.U) / float(12 * config.bins_per_note)
+    )
+    cols = [klglott88_spectrum(f0, config.fs, config.w, config.Oq) for f0 in f0s]
+    WF0 = np.stack(cols, axis=-1)
+    WF0 = WF0 / WF0.max(axis=0)[None, :]
+    return f0s, WF0.astype(np.float32)
+
+
+def gen_WGAMMA(n_freq_bins: int, n_bases: int, overlap: float = 0.75) -> np.ndarray:
+    """Overlapping Hann filterbank [F, P] (imm/wgamma.py:4-41)."""
+    Ob = 1.0 - overlap
+    n = int(np.ceil(1.0 / Ob))
+    Ob = 1.0 / n
+    O = 1.0 - Ob
+    w = float(n_freq_bins) / ((n_bases - 1) * Ob + 1 - 2 * O)
+    w = int(np.ceil(w))
+    if w % 2 != 0:
+        w -= 1
+    centers = ((np.arange(n_bases) * Ob + (Ob - O) / 2.0) * w).astype(np.int64)
+    WGAMMA = np.zeros((n_freq_bins, n_bases))
+    hL = w // 2
+    window = np.hanning(w)
+    for p in range(n_bases):
+        s = centers[p] - hL
+        for hann_p in range(w):
+            real_p = s + hann_p
+            if 0 <= real_p < n_freq_bins:
+                WGAMMA[real_p, p] = window[hann_p]
+    return WGAMMA.astype(np.float32)
+
+
+class IMM:
+    """The NMF engine + melody chain. Stateless per track; the NMF is fitted
+    per recording at inference (no learned weights)."""
+
+    def __init__(self, config: IMMConfig = IMMConfig()):
+        self.config = config
+        self.f0s, self.WF0 = gen_WF0(config)
+        self.WGAMMA = gen_WGAMMA(config.F, config.P, 0.75)
+        self.stft = SinebellSTFT(w=config.w, h=config.h)
+        self.transition_matrix = imm_transition_matrix(
+            bins_per_semitone=config.bins_per_note, n_bins=config.U
+        )
+        self._iter_fn = jax.jit(self._iteration)
+
+    # ------------------------------------------------------------------
+    def _iteration(self, SX, HGAMMA, HPHI, HF0, WM, HM):
+        """One multiplicative-update sweep (imm/tf_imm.py:243-321 order)."""
+        cfg = self.config
+        eps = jnp.float32(cfg.eps)
+        WGAMMA = jnp.asarray(self.WGAMMA)
+        WF0 = jnp.asarray(self.WF0)
+
+        WPHI = WGAMMA @ HGAMMA
+        SPHI = WPHI @ HPHI
+        SF0 = WF0 @ HF0
+        SM = WM @ HM
+        hatSX = SPHI * SF0 + SM
+
+        # HF0
+        PSX = WF0.T @ (SPHI * SX / (hatSX**2 + eps))
+        QSX = WF0.T @ (SPHI / (hatSX + eps))
+        HF0 = HF0 * PSX / (QSX + eps)
+        SF0 = WF0 @ HF0
+        SV = SPHI * SF0
+        hatSX = SV + SM
+
+        # HPHI (+ renorm into HF0)
+        PSX = WPHI.T @ (SF0 * SX / (hatSX**2 + eps))
+        QSX = WPHI.T @ (SF0 / (hatSX + eps))
+        HPHI = HPHI * PSX / (QSX + eps)
+        norm = jnp.sum(HPHI, axis=0)
+        HPHI = HPHI / (norm + eps)[None, :]
+        HF0 = HF0 * norm[None, :]
+        SPHI = WPHI @ HPHI
+        SF0 = WF0 @ HF0
+        SV = SPHI * SF0
+        hatSX = SV + SM
+
+        # HM
+        PSX = WM.T @ (SX / (hatSX**2 + eps))
+        QSX = WM.T @ (1.0 / (hatSX + eps))
+        HM = HM * PSX / (QSX + eps)
+        SM = WM @ HM
+        hatSX = SV + SM
+
+        # HGAMMA (+ renorms into HPHI then HF0)
+        PSX = WGAMMA.T @ (SF0 * SX / (hatSX**2 + eps)) @ HPHI.T
+        QSX = WGAMMA.T @ (SF0 / (hatSX + eps)) @ HPHI.T
+        HGAMMA = HGAMMA * PSX / (QSX + eps)
+        norm = jnp.sum(HGAMMA, axis=0)
+        HGAMMA = HGAMMA / (norm + eps)[None, :]
+        HPHI = HPHI * norm[:, None]
+        norm = jnp.sum(HPHI, axis=0)
+        HPHI = HPHI / (norm + eps)[None, :]
+        HF0 = HF0 * norm[None, :]
+        WPHI = WGAMMA @ HGAMMA
+        SPHI = WPHI @ HPHI
+        SF0 = WF0 @ HF0
+        SV = SPHI * SF0
+        hatSX = SV + SM
+
+        # WM (+ renorm into HM)
+        PSX = (SX / (hatSX**2 + eps)) @ HM.T
+        QSX = (1.0 / (hatSX + eps)) @ HM.T
+        WM = WM * PSX / (QSX + eps)
+        norm = jnp.sum(WM, axis=0)
+        WM = WM / (norm + eps)[None, :]
+        HM = HM * norm[:, None]
+        SM = WM @ HM
+        hatSX = SV + SM
+
+        err = self._is_divergence(SX, hatSX)
+        return (HGAMMA, HPHI, HF0, WM, HM), (WPHI, SPHI, SF0, SV, SM, hatSX), err
+
+    def _is_divergence(self, X, Y):
+        eps = jnp.float32(self.config.eps)
+        t = (X + eps) / (Y + eps)
+        return jnp.mean(-jnp.log(t) + t) - 1.0
+
+    def fit(self, SX, seed: int = 0) -> dict:
+        """Run the NMF on a power spectrogram SX [N, F] (time-major, as the
+        STFT returns). Returns the best-IS-divergence factor dict with
+        state-major [F, N]/[U, N] layouts like the reference."""
+        cfg = self.config
+        SX = jnp.asarray(SX, jnp.float32).T  # [F, N]
+        N = SX.shape[1]
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 5)
+        HGAMMA = jnp.abs(jax.random.normal(ks[0], (cfg.P, cfg.K)))
+        HPHI = jnp.abs(jax.random.normal(ks[1], (cfg.K, N)))
+        HF0 = jnp.abs(jax.random.normal(ks[2], (cfg.U, N)))
+        WM = jnp.abs(jax.random.normal(ks[3], (cfg.F, cfg.R)))
+        HM = jnp.abs(jax.random.normal(ks[4], (cfg.R, N)))
+
+        min_err, since, best = None, 0, None
+        for _ in range(cfg.niters):
+            (HGAMMA, HPHI, HF0, WM, HM), aux, err = self._iter_fn(
+                SX, HGAMMA, HPHI, HF0, WM, HM
+            )
+            err = float(err)
+            if min_err is None or err < min_err:
+                min_err, since = err, 0
+                WPHI, SPHI, SF0, SV, SM, hatSX = aux
+                best = dict(
+                    HGAMMA=HGAMMA, HPHI=HPHI, HF0=HF0, WM=WM, HM=HM,
+                    WPHI=WPHI, SPHI=SPHI, SF0=SF0, SV=SV, SM=SM, hatSX=hatSX,
+                    err=err,
+                )
+            else:
+                since += 1
+            if since == cfg.patient_iters:
+                break
+        return best
+
+    # ------------------------------------------------------------------
+    def energies_for_f0s(self, result: dict, SX) -> np.ndarray:
+        """Per-f0-bin Wiener energies [U, N] — vectorized to two matmuls:
+        E[u,n] = HF0[u,n]^2 * sum_f WF0[f,u]^2 * (SPHI[f,n]/hatSX[f,n])^2 * SX[f,n]."""
+        cfg = self.config
+        SX = jnp.asarray(SX, jnp.float32).T  # [F, N]
+        G = (result["SPHI"] / (result["hatSX"] + cfg.eps)) ** 2 * SX  # [F, N]
+        WF0sq = jnp.asarray(self.WF0) ** 2  # [F, U]
+        E = (WF0sq.T @ G) * result["HF0"] ** 2
+        return np.asarray(E, np.float32)
+
+    def logits(self, samples: np.ndarray, seed: int = 0) -> np.ndarray:
+        """Full per-track chain: samples -> log10 Wiener energies + 6,
+        [U, N] (imm/tf_imm.py:659-678)."""
+        SX = np.abs(np.asarray(self.stft.stft(samples))) ** 2
+        result = self.fit(SX, seed=seed)
+        energies = self.energies_for_f0s(result, SX)
+        hw = (self.config.w // 2) ** 2
+        energies = np.maximum(energies / float(hw), 1e-11)
+        return (np.log10(energies) + 6.0).astype(np.float32)
+
+    def process_HF0(self, HF0: np.ndarray) -> np.ndarray:
+        """HF0 -> log observations for the "original" decode: floor at the
+        smallest positive value (min exp(-87)), log, pad an unvoiced row at
+        the running minimum (imm/tf_imm.py:71-88)."""
+        HF0 = np.asarray(HF0)
+        t = HF0[HF0 > 0].min()
+        if np.log(t) < -87:
+            t = np.exp(-87)
+        logH = np.log(HF0 + t)
+        return np.pad(
+            logH, [(0, 1), (0, 0)], mode="constant", constant_values=logH.min()
+        )
+
+    def voicing_detection(self, SX, result: dict, melody_states: np.ndarray) -> np.ndarray:
+        """Melody-band Wiener energy voicing with the cumulative-energy
+        threshold 5.84e-4 (imm/tf_imm.py:705-756)."""
+        cfg = self.config
+        U = cfg.U
+        HF0 = np.asarray(result["HF0"])
+        N = HF0.shape[1]
+        states = np.asarray(melody_states)
+        voiced = states < U
+        offset = cfg.bins_per_note // 2
+        start = np.maximum(states - offset, 0)
+        end = np.minimum(states + offset + 1, U)
+
+        bins = np.arange(U)[:, None]
+        mask = (bins >= start[None, :]) & (bins < end[None, :]) & voiced[None, :]
+        sHF0 = np.where(mask, HF0, 0.0).astype(np.float32)
+
+        SF0 = jnp.asarray(self.WF0) @ jnp.asarray(sHF0)
+        SV = result["SPHI"] * SF0
+        hatSX = SV + result["SM"]
+        ratio = (SV + cfg.eps) / (hatSX + cfg.eps)
+        frame_energies = np.asarray(
+            jnp.sum(ratio**2 * jnp.asarray(SX, jnp.float32).T, axis=0)
+        )
+        es = np.sort(frame_energies)
+        c = np.cumsum(es)
+        c = c / c[-1]
+        idx = int(np.argmax(c > 5.84e-4))
+        return frame_energies > es[idx]
+
+    def melody_f0s(self, melody_states: np.ndarray, voicing: np.ndarray) -> np.ndarray:
+        states = np.minimum(np.asarray(melody_states), self.config.U - 1)
+        return np.where(voicing, self.f0s[states], 0.0)
