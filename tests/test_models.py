@@ -133,3 +133,53 @@ def test_jdc_loss_runs():
     voicing = jnp.asarray(rng.normal(size=(4, 31)).astype(np.float32))
     loss = float(jdc_loss(notes, pitch, voicing))
     assert np.isfinite(loss) and loss > 0
+
+
+def test_tonet_shapes():
+    from viterbi_spl_tpu.models import TONet
+
+    x = jnp.zeros((1, 3, 360, 128))
+    out, _ = init_and_apply(TONet(), x)
+    assert out["pitch"].shape == (1, 361, 128)
+    assert out["chroma"].shape == (1, 13, 128)
+    assert out["octave"].shape == (1, 7, 128)
+
+
+def test_cfp_to_tcfp_shuffle():
+    from viterbi_spl_tpu.models import cfp_to_tcfp
+
+    x = np.arange(3 * 360 * 4).reshape(1, 3, 360, 4).astype(np.float32)
+    t = np.asarray(cfp_to_tcfp(jnp.asarray(x)))
+    # octave-major -> tone-major: bin (o, c) with o in 0..5, c in 0..59
+    # moves from index o*60+c to c*6+o
+    assert t.shape == x.shape
+    np.testing.assert_array_equal(t[0, 0, 0], x[0, 0, 0])  # (0,0) fixed
+    np.testing.assert_array_equal(t[0, 0, 6], x[0, 0, 1])  # c=1 -> idx 6
+    np.testing.assert_array_equal(t[0, 0, 1], x[0, 0, 60])  # o=1 -> idx 1
+
+
+def test_tonet_labels_and_loss():
+    from viterbi_spl_tpu.models import TONet, tonet_labels, tonet_loss
+    from viterbi_spl_tpu.models.targets import _tonet_note_range
+
+    nr = _tonet_note_range()
+    notes = jnp.asarray(
+        np.array([[0.0, nr[0], nr[59], nr[60], nr[-1]]], np.float32)
+    )
+    lb = {k: np.asarray(v) for k, v in tonet_labels(notes).items()}
+    assert lb["pitch"][0, 0] == 0  # unvoiced
+    assert lb["pitch"][0, 1] == 1  # first grid note
+    assert lb["octave"][0, 0] == 0 and lb["chroma"][0, 0] == 0
+    assert lb["octave"][0, 1] == 1
+    assert lb["octave"][0, 4] == 6  # last bin -> octave 6
+    assert lb["chroma"][0, 2] == 12  # bin 60 -> last tone class
+    assert lb["chroma"][0, 3] == 1  # bin 61 -> wraps to tone 1
+
+    rng_np = np.random.default_rng(0)
+    logits = dict(
+        pitch=jnp.asarray(rng_np.normal(size=(1, 361, 5)).astype(np.float32)),
+        chroma=jnp.asarray(rng_np.normal(size=(1, 13, 5)).astype(np.float32)),
+        octave=jnp.asarray(rng_np.normal(size=(1, 7, 5)).astype(np.float32)),
+    )
+    loss = float(tonet_loss(notes, logits))
+    assert np.isfinite(loss) and loss > 0

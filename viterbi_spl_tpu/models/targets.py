@@ -12,8 +12,13 @@ The reference trains every family against Gaussian-blurred note targets
   notes clamped into [38-2/16, 83+2/16]) + 0.5 * voicing BCE
   (jdc/kum_m2m3.py:289-341); the l2 regularizer is applied by the trainer.
 
-Note grids: note_range = note_min + arange(n_bins)/bins_per_semitone,
-dcnet/msnet/ftanet: 23.6 + arange(320)/5; jdc: 38 + arange(721)/16.
+Note grids:
+- dcnet: 23.6 + arange(320)/5 (NSGT bins; fmin = midi 24 / factor^2 = midi
+  23.6, dcnet/nsgt.py:73),
+- msnet/ftanet: hz_to_midi(cfp central_freqs[1:]) = midi(31 Hz) + (k+1)/5
+  (msnet/hsieh_m2m3.py:185-203),
+- tonet: hz_to_midi(tonet cfp central_freqs[1:]), 360 bins from 32 Hz,
+- jdc: 38 + arange(721)/16 (jdc/kum_m2m3.py:310-312).
 """
 
 from __future__ import annotations
@@ -29,6 +34,25 @@ CUTOFF_PROB = 4e-3
 
 def note_grid(note_min: float, n_bins: int, bins_per_semitone: float) -> np.ndarray:
     return (note_min + np.arange(n_bins) / bins_per_semitone).astype(np.float32)
+
+
+def cfp_note_range(central_freqs: np.ndarray) -> np.ndarray:
+    """hz_to_midi of central_freqs[1:] (msnet/hsieh_m2m3.py:185-203)."""
+    from ..metrics.mel_eval import hz_to_midi
+
+    return hz_to_midi(np.asarray(central_freqs)[1:]).astype(np.float32)
+
+
+def _msnet_note_range() -> np.ndarray:
+    from ..frontend.cfp import MSNET_CFP
+
+    return cfp_note_range(MSNET_CFP.central_freqs)
+
+
+def _tonet_note_range() -> np.ndarray:
+    from ..frontend.cfp import TONET_CFP
+
+    return cfp_note_range(TONET_CFP.central_freqs)
 
 
 DCNET_NOTE_RANGE = note_grid(23.6, 320, 5)
@@ -65,7 +89,7 @@ def dcnet_loss(ref_notes, logits):
 def softmax_smoothed_loss(ref_notes, logits):
     """(n_bins+1)-class softmax CE with non-melody class 0 at note 0
     (msnet/ftanet; logits [T, 321] or [..., n_bins+1])."""
-    note_range = jnp.asarray(np.pad(DCNET_NOTE_RANGE, (1, 0)))
+    note_range = jnp.asarray(np.pad(_msnet_note_range(), (1, 0)))
     ref_notes = jnp.minimum(ref_notes, note_range[-1] + 0.4)
     targets = gaussian_blur_targets(
         ref_notes.reshape(-1), note_range, 0.18, normalize=True
@@ -73,6 +97,43 @@ def softmax_smoothed_loss(ref_notes, logits):
     logits = logits.reshape(-1, note_range.shape[0])
     loss = -jnp.sum(targets * jax.nn.log_softmax(logits, axis=-1), axis=-1)
     return jnp.mean(loss)
+
+
+@jax.jit
+def tonet_labels(ref_notes):
+    """MIDI notes [B, T] -> integer label dict(pitch [0..360], chroma
+    [0..12], octave [0..6]) per tonet/main_shaun.py:317-363.
+
+    pitch = index of the first grid note >= ref note (0 = unvoiced);
+    octave = (pitch-1)//60 + 1; chroma = (pitch-1)%60//5 + 1; both 0 when
+    unvoiced."""
+    note_range = jnp.asarray(_tonet_note_range())
+    note_min, note_max = note_range[0], note_range[-1]
+    positive = ref_notes > 0.0
+    notes = jnp.where(positive & (ref_notes < note_min), note_min, ref_notes)
+    notes = jnp.where(notes > note_max, note_max, notes)
+    grid = jnp.concatenate([jnp.zeros((1,), jnp.float32), note_range])
+    ge = (grid[None, None, :] - notes[..., None]) >= 0.0
+    pitch = jnp.argmax(ge, axis=-1).astype(jnp.int32)
+    octave = jnp.where(positive, (pitch - 1) // 60 + 1, 0)
+    chroma = jnp.where(positive, (pitch - 1) % 60 // 5 + 1, 0)
+    return dict(pitch=pitch, chroma=chroma, octave=octave)
+
+
+@jax.jit
+def tonet_loss(ref_notes, logits):
+    """Mean of 3 cross-entropies on integer pitch/chroma/octave labels
+    (tonet/main_shaun.py:298-315). logits: dict of [B, C, T] tensors."""
+    labels = tonet_labels(ref_notes)
+
+    def ce(lg, lb):
+        lg = jnp.transpose(lg, (0, 2, 1))  # [B, T, C]
+        return -jnp.take_along_axis(
+            jax.nn.log_softmax(lg, axis=-1), lb[..., None], axis=-1
+        )[..., 0]
+
+    losses = [ce(logits[k], labels[k]) for k in ("pitch", "chroma", "octave")]
+    return jnp.mean(jnp.stack(losses, axis=-1))
 
 
 @jax.jit
