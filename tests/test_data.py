@@ -1,0 +1,198 @@
+"""Data layer tests with synthetic annotation fixtures."""
+
+import numpy as np
+import pytest
+
+from viterbi_spl_tpu.data import (
+    Track,
+    TrackDataset,
+    adc04_track_ids,
+    chunk_fixed,
+    gen_split_list,
+    inference_snippets,
+    medleydb_splits,
+    mirex05_track_ids,
+    rwc_track_ids,
+    training_snippets,
+)
+from viterbi_spl_tpu.data.labels import (
+    HOP_256,
+    adc04_label,
+    medleydb_label,
+    mir1k_label,
+    mirex05_label,
+    resample_notes_to_10ms,
+    validity_check_of_ref_freqs,
+)
+from viterbi_spl_tpu.data.registry import reconcile_lengths
+from viterbi_spl_tpu.data.vocals import is_vocals_from_m2m3, is_vocals_from_sections
+from viterbi_spl_tpu.metrics.mel_eval import midi_to_hz
+
+
+def test_splits():
+    s = medleydb_splits()
+    assert len(s["training"]) == 35
+    assert len(s["validation"]) == 13
+    assert len(s["test"]) == 12
+    assert len(set(s["training"]) & set(s["test"])) == 0
+    assert len(adc04_track_ids()) == 12
+    assert len(mirex05_track_ids()) == 9
+    assert len(rwc_track_ids()) == 100
+
+
+def test_validity_check():
+    validity_check_of_ref_freqs(np.array([0.0, 100.0, 440.0]))
+    with pytest.raises(ValueError):
+        validity_check_of_ref_freqs(np.array([5.0]))
+
+
+def test_adc04_label(tmp_path):
+    n = 50
+    times = np.arange(n) * HOP_256
+    freqs = np.where(np.arange(n) % 4 == 0, 0.0, 220.0)
+    np.savetxt(tmp_path / "daisy1REF.txt", np.stack([times, freqs], 1))
+    lb = adc04_label("daisy1", root=str(tmp_path))
+    assert len(lb["notes"]) == n
+    assert lb["notes"][0] == 0.0
+    assert lb["notes"][1] == pytest.approx(57.0, abs=0.01)  # midi(220) = 57
+
+
+def test_mirex05_label_resamples_to_256hop(tmp_path):
+    n = 100
+    times = np.arange(n) * 0.01
+    freqs = np.full(n, 330.0)
+    freqs[:10] = 0.0
+    np.savetxt(tmp_path / "train01REF.txt", np.stack([times, freqs], 1))
+    lb = mirex05_label("train01", root=str(tmp_path))
+    n_256 = ((n - 1) * 441 + 255) // 256 + 1
+    assert len(lb["notes"]) == n_256
+    voiced = lb["notes"][lb["notes"] > 0]
+    assert np.allclose(voiced, 12 * np.log2(330 / 440) + 69, atol=0.01)
+    # original stays on the 10 ms grid
+    assert len(lb["original"]["times"]) == n
+
+
+def test_mir1k_label(tmp_path):
+    (tmp_path / "PitchLabel").mkdir()
+    n_frames = 40
+    num_samples = (n_frames - 1) * 320 + 640
+    pitches = np.where(np.arange(n_frames) % 3 == 0, 0.0, 60.0)
+    np.savetxt(tmp_path / "PitchLabel" / "abjones_1.pv", pitches)
+    lb = mir1k_label("abjones_1", num_samples, root=str(tmp_path))
+    assert lb["notes"].dtype == np.float32
+    v = lb["notes"][lb["notes"] > 0]
+    assert np.allclose(v, 60.0, atol=1e-5)
+    # freqs are Hz with the prepended 0 frame
+    assert lb["original"]["freqs"][0] == 0.0
+
+
+def test_medleydb_label(tmp_path):
+    n = 30
+    times = np.arange(n) * HOP_256
+    freqs = np.full(n, 440.0)
+    arr = np.stack([times, freqs], 1)
+    np.savetxt(tmp_path / "Song_MELODY2.csv", arr, delimiter=",")
+    mask = np.zeros(n, bool)
+    mask[10:20] = True
+    lb = medleydb_label("Song", mask, melody2_dir=str(tmp_path))
+    assert np.all(lb["notes"][10:20] == 69.0)
+    assert np.all(lb["notes"][:10] == 0.0)
+
+
+def test_is_vocals_from_sections(tmp_path):
+    n = 100
+    times = np.arange(n) * HOP_256
+    freqs = np.full(n, 220.0)
+    freqs[:5] = 0.0
+    np.savetxt(tmp_path / "Song_MELODY2.csv", np.stack([times, freqs], 1), delimiter=",")
+    t0, t1 = 10 * HOP_256, 50 * HOP_256
+    with open(tmp_path / "Song_SOURCEID.lab", "w") as fh:
+        fh.write("start_time,end_time,instrument\n")
+        fh.write(f"{t0},{t1},female singer\n")
+        fh.write(f"{60*HOP_256},{70*HOP_256},electric guitar\n")
+    mask = is_vocals_from_sections(
+        "Song", section_dir=str(tmp_path), melody2_dir=str(tmp_path)
+    )
+    assert mask[20] and not mask[80]
+    assert not mask[0]  # unvoiced melody2 -> False even inside a section
+
+
+def test_is_vocals_from_m2m3():
+    n = 10
+    times = np.arange(n) * HOP_256
+    m2 = np.stack([times, np.full(n, 100.0)], 1)
+    m2[0, 1] = 0.0
+    m3 = np.zeros((n, 3))
+    m3[:, 0] = times
+    m3[:, 1] = 100.0  # rank-1 column matches melody2
+    m3[:, 2] = 150.0
+    mask = is_vocals_from_m2m3(
+        m2, m3,
+        melody_rankings={0: 1, 3: 2},
+        stem_instruments={0: "male singer", 3: "clean electric guitar"},
+        is_instrumental=False,
+    )
+    assert not mask[0] and np.all(mask[1:])
+
+
+def test_reconcile_lengths():
+    spec = np.zeros((10, 4), np.float32)
+    notes = np.zeros(11, np.float32)
+    s2, n2 = reconcile_lengths(spec, notes)
+    assert len(s2) == 11
+    with pytest.raises(ValueError):
+        reconcile_lengths(np.zeros((10, 4)), np.zeros(13))
+
+
+def _toy_dataset():
+    def spec_fn(tid):
+        return np.full((37 if tid == "a" else 23, 4), ord(tid[0]), np.float32)
+
+    def label_fn(tid):
+        n = 37 if tid == "a" else 23
+        return dict(
+            notes=np.linspace(40, 50, n).astype(np.float32),
+            original=dict(times=np.arange(n) * 0.01, freqs=np.full(n, 220.0)),
+        )
+
+    return TrackDataset(["a", "b"], spec_fn, label_fn)
+
+
+def test_track_dataset_and_snippets():
+    ds = _toy_dataset()
+    assert len(ds) == 2
+    assert ds.num_frames_vector.tolist() == [37, 23]
+    assert ds[0].spectrogram.flags["WRITEABLE"] is False
+
+    assert gen_split_list(37, 16) == [(0, 16), (16, 32), (32, 37)]
+
+    items = list(inference_snippets(ds, 16))
+    assert len(items) == 3 + 2
+    assert items[0]["rec_idx"] == 0 and items[0]["snippet_idx"] == 0
+    assert items[3]["rec_idx"] == 1
+    # reassembly covers every frame exactly once
+    total = sum(len(i["notes"]) for i in items)
+    assert total == 37 + 23
+
+    rng = np.random.default_rng(0)
+    train_iter = training_snippets(ds, 16, rng)
+    seen = [next(train_iter)["spectrogram"].shape[0] for _ in range(10)]
+    assert max(seen) == 16
+
+
+def test_chunk_fixed_roundtrip():
+    spec = np.arange(70, dtype=np.float32).reshape(35, 2)
+    notes = np.arange(35, dtype=np.float32)
+    chunks, note_chunks, T = chunk_fixed(spec, notes, 16)
+    assert chunks.shape == (3, 16, 2)
+    rec = chunks.reshape(-1, 2)[:T]
+    np.testing.assert_array_equal(rec, spec)
+
+
+def test_resample_notes_to_10ms():
+    notes = np.full(100, 60.0, np.float32)
+    notes[:10] = 0.0
+    out = resample_notes_to_10ms(notes)
+    assert np.all((out == 0) | (np.abs(out - 60) < 1e-4))
+    expected_len = int(np.floor(99 * HOP_256 / 0.01)) + 1
+    assert len(out) == expected_len

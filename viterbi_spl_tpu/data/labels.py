@@ -1,0 +1,153 @@
+"""Reference-melody label readers for the five evaluation datasets.
+
+Per-dataset semantics mirror the reference readers (SURVEY.md §2.7):
+- MedleyDB: MELODY2 csv at hop 256/44100, frequencies masked by per-frame
+  vocal activity -> MIDI notes, 0 = unvoiced (dcnet/softmax_viterbi.py:492-513),
+- ADC04: <track>REF.txt, hop 256/44100 (timebase asserted) (:860-879),
+- MIREX05: <track>REF.txt at 10 ms, resampled to the 256-hop grid with the
+  mir_eval resampling semantics (:1017-1051),
+- MIR-1K: PitchLabel .pv files (MIDI pitches at 20 ms starting at 20 ms;
+  a 0 frame is prepended), resampled to the 256-hop 44.1 kHz grid even
+  though the audio is 16 kHz (441/128 sample ratio) (:1197-1241),
+- RWC: MELODY annotation files.
+
+Each reader returns dict(notes=[T] float MIDI on the model's hop grid,
+original=dict(times, freqs)) — `original` feeds the mir_eval-semantics
+cross-check exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..metrics.mel_eval import hz_to_midi, midi_to_hz, resample_melody_series
+
+MIN_MELODY_FREQ = 20.0
+HOP_256 = 256.0 / 44100.0
+
+
+def validity_check_of_ref_freqs(freqs: np.ndarray) -> None:
+    """Frequencies must be exactly 0 (unvoiced) or above the minimum melody
+    frequency (dcnet/softmax_viterbi.py:577-585)."""
+    freqs = np.asarray(freqs)
+    ok = (freqs == 0.0) | (freqs > MIN_MELODY_FREQ)
+    if not np.all(ok):
+        raise ValueError("reference frequencies outside the valid melody range")
+
+
+def notes_from_freqs(freqs: np.ndarray) -> np.ndarray:
+    """Hz -> MIDI with 0 staying 0 (librosa-equivalent hz_to_midi)."""
+    return hz_to_midi(freqs).astype(np.float32)
+
+
+def read_times_freqs(path: str | os.PathLike, delimiter=None) -> np.ndarray:
+    arr = np.genfromtxt(path, delimiter=delimiter)
+    if np.any(np.isnan(arr)) or arr.ndim != 2 or arr.shape[1] != 2:
+        raise ValueError(f"bad annotation file {path}")
+    return arr
+
+
+def medleydb_label(track_id: str, is_vocals: np.ndarray, melody2_dir: str | None = None) -> dict:
+    """MELODY2 csv + per-frame vocal mask -> labels on the 256-hop grid."""
+    melody2_dir = melody2_dir or os.environ["melody2_dir"]
+    arr = read_times_freqs(
+        os.path.join(melody2_dir, track_id + "_MELODY2.csv"), delimiter=","
+    )
+    n = len(arr)
+    expected_times = np.arange(n) * HOP_256
+    if not np.allclose(arr[:, 0], expected_times):
+        raise ValueError("MELODY2 timebase is not the 256-hop grid")
+    freqs = arr[:, 1]
+    validity_check_of_ref_freqs(freqs)
+    if len(is_vocals) != n:
+        raise ValueError("vocal mask length mismatch")
+    vocal_freqs = np.where(np.asarray(is_vocals, bool), freqs, 0.0)
+    return dict(
+        notes=notes_from_freqs(vocal_freqs),
+        original=dict(times=arr[:, 0], freqs=vocal_freqs),
+    )
+
+
+def adc04_label(track_id: str, root: str | None = None) -> dict:
+    root = root or os.environ["adc04"]
+    arr = read_times_freqs(os.path.join(root, track_id + "REF.txt"))
+    n = len(arr)
+    if int(round(arr[-1, 0] / HOP_256)) + 1 != n or arr[0, 0] != 0.0:
+        raise ValueError("ADC04 timebase is not the 256-hop grid")
+    freqs = arr[:, 1]
+    validity_check_of_ref_freqs(freqs)
+    return dict(
+        notes=notes_from_freqs(freqs),
+        original=dict(times=arr[:, 0], freqs=freqs),
+    )
+
+
+def mirex05_label(track_id: str, root: str | None = None) -> dict:
+    root = root or os.environ["mirex05"]
+    name = "train13REF.txt" if track_id == "train13MIDI" else track_id + "REF.txt"
+    arr = read_times_freqs(os.path.join(root, name))
+    n = len(arr)
+    if int(round(arr[-1, 0] / 0.01)) + 1 != n or arr[0, 0] != 0.0:
+        raise ValueError("MIREX05 timebase is not the 10 ms grid")
+    freqs_441 = arr[:, 1]
+    validity_check_of_ref_freqs(freqs_441)
+
+    n_256 = ((n - 1) * 441 + 255) // 256 + 1
+    times_256 = np.arange(n_256) * HOP_256
+    times_441 = np.arange(n) * 0.01
+    freqs_256, _ = resample_melody_series(
+        times_441, freqs_441, freqs_441 > 0.1, times_256
+    )
+    validity_check_of_ref_freqs(freqs_256)
+    return dict(
+        notes=notes_from_freqs(freqs_256),
+        original=dict(times=arr[:, 0], freqs=freqs_441),
+    )
+
+
+def mir1k_label(track_id: str, num_samples_16k: int, root: str | None = None) -> dict:
+    """PitchLabel .pv (MIDI at 20 ms, first frame at 20 ms) -> 256-hop grid.
+
+    NOTE: the .pv values are already MIDI pitches; resampling happens in the
+    pitch domain and `original.freqs` converts back to Hz
+    (dcnet/softmax_viterbi.py:1197-1241)."""
+    root = root or os.environ["mir1k"]
+    pitches = np.genfromtxt(os.path.join(root, "PitchLabel", track_id + ".pv"))
+    if np.any(np.isnan(pitches)) or pitches.ndim != 1:
+        raise ValueError("bad .pv file")
+    n = len(pitches)
+    w = 640
+    if (num_samples_16k - w) // 320 + 1 != n:
+        raise ValueError("pitch file length inconsistent with audio")
+    if not np.all((pitches > 23) | (pitches == 0)):
+        raise ValueError("pitch values out of range")
+
+    n = n + 1
+    times_20ms = np.arange(n) * 0.02
+    pitches = np.pad(pitches, (1, 0))
+
+    n_256 = ((n - 1) * 441 + 127) // 128 + 1
+    times_256 = np.arange(n_256) * HOP_256
+    pitches_256, _ = resample_melody_series(
+        times_20ms, pitches, pitches > 0.1, times_256
+    )
+    if not np.all((pitches_256 == 0) | (pitches_256 > 23)):
+        raise ValueError("resampled pitches out of range")
+    freqs = np.where(pitches > 0, midi_to_hz(pitches), 0.0)
+    return dict(
+        notes=pitches_256.astype(np.float32),
+        original=dict(times=times_20ms, freqs=freqs),
+    )
+
+
+def resample_notes_to_10ms(notes_256: np.ndarray) -> np.ndarray:
+    """256-hop labels -> 10 ms grid for the jdc/ftanet/tonet families
+    (jdc/kum_m2m3.py:389-421 semantics, in the pitch domain)."""
+    n = len(notes_256)
+    times_256 = np.arange(n) * HOP_256
+    n_10ms = int(np.floor(times_256[-1] / 0.01)) + 1
+    times_10ms = np.arange(n_10ms) * 0.01
+    notes, _ = resample_melody_series(times_256, notes_256, notes_256 > 0.1, times_10ms)
+    return notes.astype(np.float32)
