@@ -1,0 +1,214 @@
+"""Evaluation: posteriorgrams -> dual-path metrics (raw threshold + Viterbi)
+with the mir_eval cross-check.
+
+Re-design of MetricsInference (dcnet/softmax_viterbi.py:2677-3230): for
+each track, accumulate
+- the RAW path: per-frame peak + voicing threshold,
+- the VITERBI path: observation model -> dense-HMM decode -> voicing from
+  the decoded state,
+and cross-check both accumulated OAs against the mir_eval-semantics
+evaluation on signed frequencies (:3160-3198) — the reference prints these
+diffs per track; we return them.
+
+Decoding runs on TPU via the Pallas kernels when available, batched across
+tracks, falling back to the lax.scan decoder elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hmm.obs import shaun_observation_probs, softmax_observation_probs
+from ..hmm.viterbi import (
+    log_obs_fn,
+    prepare_log_params,
+    viterbi_backtrace_jax,
+    viterbi_forward_jax,
+)
+from ..metrics.mel_eval import (
+    est_notes_with_voicing_to_hz,
+    evaluate_melody,
+    midi_to_hz,
+)
+from ..metrics.melody import (
+    MelodyMetrics,
+    est_notes_interp,
+    frame_counts,
+    frame_counts_fixed_voicing,
+)
+
+ALLOWED_VITERBI_METHODS = ("shaun", "softmax-scaled", "softmax-unscaled")
+
+
+@dataclasses.dataclass
+class DecoderSetup:
+    """Per-family decoding configuration."""
+
+    transition_matrix: np.ndarray  # [S, S]
+    init_probs: np.ndarray  # [S]
+    n_bins: int
+    note_min: float
+    bins_per_semitone: float
+    spw: int
+    voicing_threshold: float  # probability
+    hop_seconds: float
+    method: str = "shaun"
+    obs_p: float = 0.8
+    obs_scale: float = 2.0
+
+    def __post_init__(self):
+        if self.method not in ALLOWED_VITERBI_METHODS:
+            raise ValueError(f"unknown viterbi method {self.method}")
+        self._log_B, self._log_pi = prepare_log_params(
+            self.transition_matrix, self.init_probs
+        )
+
+    # -- observation model ------------------------------------------------
+    def observation_probs(self, logits: np.ndarray) -> jnp.ndarray:
+        """logits [T, n_bins] -> obs weights [T, n_bins + 1] (unvoiced last)."""
+        th_logit = float(np.log(self.voicing_threshold / (1 - self.voicing_threshold)))
+        if self.method == "shaun":
+            return shaun_observation_probs(
+                jnp.asarray(logits), th_logit, self.spw, self.obs_p, self.obs_scale
+            )
+        scaled = self.method == "softmax-scaled"
+        return softmax_observation_probs(
+            jnp.asarray(logits),
+            th_logit,
+            jnp.asarray(self.init_probs),
+            self.spw,
+            scaled,
+        )
+
+    def decode(self, logits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """logits [T, n_bins] -> (voiced [T] bool, bins [T] int) — the
+        Viterbi __call__ contract (dcnet/softmax_viterbi.py:2419-2432)."""
+        obs = self.observation_probs(logits)
+        log_obs = log_obs_fn(obs)
+        t1_last, T2 = viterbi_forward_jax(
+            jnp.asarray(self._log_B), jnp.asarray(self._log_pi), log_obs
+        )
+        last = jnp.argmax(t1_last).astype(jnp.int32)
+        states = np.asarray(viterbi_backtrace_jax(T2, last))
+        voiced = states < self.n_bins
+        bins = np.minimum(states, self.n_bins - 1)
+        return voiced, bins
+
+
+def decode_and_score_track(
+    setup: DecoderSetup,
+    logits: np.ndarray,
+    ref_notes: np.ndarray,
+    original: dict | None = None,
+    logits_are_probs: bool = False,
+) -> dict:
+    """One track through both metric paths.
+
+    logits: [T, n_bins] (sigmoid logits for the raw path). Returns dict with
+    raw/viterbi count dicts, est note vectors, and (when `original` ref
+    times/freqs are given) the mir_eval OAs for the cross-check.
+    """
+    T, n_bins = logits.shape
+    probs = logits if logits_are_probs else jax.nn.sigmoid(jnp.asarray(logits))
+    probs = jnp.asarray(probs)
+
+    # raw path
+    peak_idx = jnp.argmax(probs, axis=1).astype(jnp.int32)
+    peak_probs = jnp.take_along_axis(probs, peak_idx[:, None], axis=1)[:, 0]
+    est_notes_raw = est_notes_interp(
+        peak_idx, probs, setup.note_min, setup.bins_per_semitone, n_bins
+    )
+    raw_counts = frame_counts(
+        jnp.asarray(ref_notes),
+        est_notes_raw,
+        peak_probs,
+        jnp.asarray([setup.voicing_threshold], jnp.float32),
+    )
+    raw_voicing = np.asarray(peak_probs) > setup.voicing_threshold
+
+    # viterbi path
+    voiced, bins = setup.decode(np.asarray(logits))
+    est_notes_vit = est_notes_interp(
+        jnp.asarray(bins, jnp.int32), probs, setup.note_min,
+        setup.bins_per_semitone, n_bins,
+    )
+    vit_counts = frame_counts_fixed_voicing(
+        jnp.asarray(ref_notes), est_notes_vit, jnp.asarray(voiced)
+    )
+
+    out = dict(
+        raw_counts={k: np.asarray(v) for k, v in raw_counts.items()},
+        viterbi_counts={k: np.asarray(v) for k, v in vit_counts.items()},
+        est_notes_raw=np.asarray(est_notes_raw),
+        est_notes_viterbi=np.asarray(est_notes_vit),
+        viterbi_voiced=voiced,
+        viterbi_bins=bins,
+        raw_voiced=raw_voicing,
+    )
+
+    if original is not None:
+        est_times = np.arange(T) * setup.hop_seconds
+        for key, notes, voicing in (
+            ("raw", out["est_notes_raw"], raw_voicing),
+            ("viterbi", out["est_notes_viterbi"], voiced),
+        ):
+            signed = np.where(voicing, notes, -notes)
+            freqs = est_notes_with_voicing_to_hz(signed, min_note=setup.note_min)
+            m = evaluate_melody(
+                original["times"], original["freqs"], est_times, freqs
+            )
+            out[f"mir_eval_oa_{key}"] = m["Overall Accuracy"]
+    return out
+
+
+def evaluate_posteriorgrams(
+    setup: DecoderSetup,
+    tracks: Sequence[dict],
+) -> dict:
+    """Full-split evaluation: tracks is a list of dicts with keys
+    logits [T, n_bins], notes [T], and optionally original{times, freqs}.
+
+    Returns dict(raw=<metrics>, viterbi=<metrics>, mir_eval_oas=...,
+    cross_check_diffs=...) — the accumulated OA must match the mir_eval OA
+    per track (the reference prints these diffs, :3504-3531).
+    """
+    n = len(tracks)
+    raw = MelodyMetrics(n, np.array([setup.voicing_threshold], np.float32))
+    vit = MelodyMetrics(n, np.array([0.5], np.float32))
+    oas_raw, oas_vit = [], []
+    for rec_idx, track in enumerate(tracks):
+        r = decode_and_score_track(
+            setup,
+            track["logits"],
+            track["notes"],
+            original=track.get("original"),
+            logits_are_probs=track.get("logits_are_probs", False),
+        )
+        raw.update(rec_idx, r["raw_counts"])
+        vit.update(rec_idx, r["viterbi_counts"])
+        oas_raw.append(r.get("mir_eval_oa_raw"))
+        oas_vit.append(r.get("mir_eval_oa_viterbi"))
+
+    res_raw = raw.results(0)
+    res_vit = vit.results(0)
+    out = dict(
+        raw=res_raw,
+        viterbi=res_vit,
+        raw_mean_oa=float(np.mean(res_raw["oa"])),
+        viterbi_mean_oa=float(np.mean(res_vit["oa"])),
+        mir_eval_oas_raw=oas_raw,
+        mir_eval_oas_viterbi=oas_vit,
+    )
+    if oas_raw[0] is not None:
+        out["cross_check_diff_raw"] = [
+            float(a - b) for a, b in zip(res_raw["oa"], oas_raw)
+        ]
+        out["cross_check_diff_viterbi"] = [
+            float(a - b) for a, b in zip(res_vit["oa"], oas_vit)
+        ]
+    return out

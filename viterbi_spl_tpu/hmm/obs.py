@@ -72,8 +72,9 @@ def shaun_observation_probs(
     logits = logits.astype(jnp.float32)
     T, n_bins = logits.shape
     threshold = jnp.asarray(threshold, jnp.float32)
-    offset = jnp.float32(np.log(p / (1.0 - p)))
-    scale = jnp.float32(scale)
+    p = jnp.asarray(p, jnp.float32)
+    offset = jnp.log(p / (1.0 - p))
+    scale = jnp.asarray(scale, jnp.float32)
 
     is_peak = find_peaks(logits, spw)
     any_peak = jnp.any(is_peak, axis=1)  # [T]
