@@ -140,3 +140,35 @@ def test_full_melody_chain(rng, imm_small):
     assert len(voiced_f0s) > 0
     spread = np.percentile(voiced_f0s, 90) / np.percentile(voiced_f0s, 10)
     assert spread < 1.6, f"melody unstable on a steady tone (spread {spread:.2f})"
+
+
+def test_stereo_fit_and_separation(rng, imm_small):
+    """Stereo pass: IS divergence improves; Wiener separation reconstructs
+    (melody + accompaniment ~ mix per channel)."""
+    cfg = imm_small.config
+    yL = synth(rng, 44100 // 4, f0=220.0)
+    yR = 0.6 * yL + 0.01 * rng.normal(size=len(yL)).astype(np.float32)
+    XL = np.asarray(imm_small.stft.stft(yL))
+    XR = np.asarray(imm_small.stft.stft(yR))
+    SXL = np.abs(XL) ** 2
+    SXR = np.abs(XR) ** 2
+
+    mono = imm_small.fit(SXL, seed=0)
+    states = np.argmax(np.asarray(mono["HF0"]), axis=0)
+    sHF0 = imm_small.constrained_HF0(np.asarray(mono["HF0"]), states)
+    assert sHF0.shape == mono["HF0"].shape
+    assert (sHF0 > 0).sum() < (np.asarray(mono["HF0"]) > 0).sum()
+
+    res = imm_small.fit_stereo(SXL, SXR, sHF0, seed=0)
+    assert np.isfinite(res["err"])
+    aL, aR = float(res["alphaL"]), float(res["alphaR"])
+    assert 0 < aL < 1 and abs(aL + aR - 1) < 1e-5
+    beta_sum = np.asarray(res["betaL"]) + np.asarray(res["betaR"])
+    np.testing.assert_allclose(beta_sum, 1.0, atol=1e-5)
+
+    sep = imm_small.separate_stereo(XL, XR, res)
+    mel_L, acc_L = sep["melody"][0], sep["accompaniment"][0]
+    rec = (mel_L + acc_L)[: len(yL)]
+    # Wiener masks sum to ~(SV+SM)/hatSX = 1 -> near-exact mix reconstruction
+    err = np.mean((rec - yL) ** 2) / np.mean(yL**2)
+    assert err < 0.05, f"separation does not reconstruct the mix (err {err:.3f})"

@@ -241,6 +241,212 @@ class IMM:
         return best
 
     # ------------------------------------------------------------------
+    def _stereo_iteration(self, SXL, SXR, HGAMMA, HPHI, HF0, WM, HM,
+                          alphaL, alphaR, betaL, betaR):
+        """One stereo sweep with per-channel gains (imm/tf_imm.py:354-618):
+        updates HF0/HPHI/HM/HGAMMA/WM plus the channel gains alphaL/R and
+        per-basis panning betaL/R (exponent-0.1 damped updates)."""
+        cfg = self.config
+        eps = jnp.float32(cfg.eps)
+        WGAMMA = jnp.asarray(self.WGAMMA)
+        WF0 = jnp.asarray(self.WF0)
+
+        betaL2, betaR2 = betaL**2, betaR**2
+        WPHI = WGAMMA @ HGAMMA
+        SPHI = WPHI @ HPHI
+        SPHIL = alphaL**2 * SPHI
+        SPHIR = alphaR**2 * SPHI
+        SF0 = WF0 @ HF0
+        SML = (WM * betaL2[None, :]) @ HM
+        SMR = (WM * betaR2[None, :]) @ HM
+        hatSXL = SPHIL * SF0 + SML
+        hatSXR = SPHIR * SF0 + SMR
+
+        # HF0
+        PSX = WF0.T @ (
+            SPHIL * SXL / (hatSXL**2 + eps) + SPHIR * SXR / (hatSXR**2 + eps)
+        )
+        QSX = WF0.T @ (SPHIL / (hatSXL + eps) + SPHIR / (hatSXR + eps))
+        HF0 = HF0 * PSX / (QSX + eps)
+        SF0 = WF0 @ HF0
+        SF0L, SF0R = alphaL**2 * SF0, alphaR**2 * SF0
+        hatSXL = SPHI * SF0L + SML
+        hatSXR = SPHI * SF0R + SMR
+
+        # HPHI
+        PSX = WPHI.T @ (
+            SF0L * SXL / (hatSXL**2 + eps) + SF0R * SXR / (hatSXR**2 + eps)
+        )
+        QSX = WPHI.T @ (SF0L / (hatSXL + eps) + SF0R / (hatSXR + eps))
+        HPHI = HPHI * PSX / (QSX + eps)
+        norm = jnp.sum(HPHI, axis=0)
+        HPHI = HPHI / (norm + eps)[None, :]
+        HF0 = HF0 * norm[None, :]
+        SPHI = WPHI @ HPHI
+        SF0 = WF0 @ HF0
+        SF0L, SF0R = alphaL**2 * SF0, alphaR**2 * SF0
+        SVL, SVR = SPHI * SF0L, SPHI * SF0R
+        hatSXL, hatSXR = SVL + SML, SVR + SMR
+
+        # HM
+        WML = WM * betaL2[None, :]
+        WMR = WM * betaR2[None, :]
+        PSX = WML.T @ (SXL / (hatSXL**2 + eps)) + WMR.T @ (SXR / (hatSXR**2 + eps))
+        QSX = WML.T @ (1.0 / (hatSXL + eps)) + WMR.T @ (1.0 / (hatSXR + eps))
+        HM = HM * PSX / (QSX + eps)
+        SML = WM @ (betaL2[:, None] * HM)
+        SMR = WM @ (betaR2[:, None] * HM)
+        hatSXL, hatSXR = SVL + SML, SVR + SMR
+
+        # HGAMMA
+        PSX = WGAMMA.T @ (
+            SF0L * SXL / (hatSXL**2 + eps) + SF0R * SXR / (hatSXR**2 + eps)
+        ) @ HPHI.T
+        QSX = WGAMMA.T @ (
+            SF0L / (hatSXL + eps) + SF0R / (hatSXR + eps)
+        ) @ HPHI.T
+        HGAMMA = HGAMMA * PSX / (QSX + eps)
+        norm = jnp.sum(HGAMMA, axis=0)
+        HGAMMA = HGAMMA / (norm + eps)[None, :]
+        HPHI = HPHI * norm[:, None]
+        norm = jnp.sum(HPHI, axis=0)
+        HPHI = HPHI / (norm + eps)[None, :]
+        HF0 = HF0 * norm[None, :]
+        WPHI = WGAMMA @ HGAMMA
+        SPHI = WPHI @ HPHI
+        SF0 = WF0 @ HF0
+        SV = SPHI * SF0
+        SVL, SVR = alphaL**2 * SV, alphaR**2 * SV
+        hatSXL, hatSXR = SVL + SML, SVR + SMR
+
+        # WM
+        HML = betaL2[:, None] * HM
+        HMR = betaR2[:, None] * HM
+        PSX = (SXL / (hatSXL**2 + eps)) @ HML.T + (SXR / (hatSXR**2 + eps)) @ HMR.T
+        QSX = (1.0 / (hatSXL + eps)) @ HML.T + (1.0 / (hatSXR + eps)) @ HMR.T
+        WM = WM * PSX / (QSX + eps)
+        norm = jnp.sum(WM, axis=0)
+        WM = WM / (norm + eps)[None, :]
+        HM = HM * norm[:, None]
+        SML = (WM * betaL2[None, :]) @ HM
+        SMR = (WM * betaR2[None, :]) @ HM
+        hatSXL, hatSXR = SVL + SML, SVR + SMR
+
+        # alpha (damped multiplicative update, exponent 0.1)
+        PL = jnp.sum(SV * SXL / (hatSXL**2 + eps))
+        QL = jnp.sum(SV / (hatSXL + eps))
+        alphaL = alphaL * (PL / (QL + eps)) ** 0.1
+        PR = jnp.sum(SV * SXR / (hatSXR**2 + eps))
+        QR = jnp.sum(SV / (hatSXR + eps))
+        alphaR = alphaR * (PR / (QR + eps)) ** 0.1
+        alphaL, alphaR = alphaL + eps, alphaR + eps
+        alphaL = alphaL / (alphaL + alphaR)
+        alphaR = 1.0 - alphaL
+        hatSXL = alphaL**2 * SV + SML
+        hatSXR = alphaR**2 * SV + SMR
+
+        # beta
+        PL = jnp.sum((WM.T @ (SXL / (hatSXL**2 + eps))) * HM, axis=1)
+        QL = jnp.sum((WM.T @ (1.0 / (hatSXL + eps))) * HM, axis=1)
+        betaL = betaL * (PL / (QL + eps)) ** 0.1
+        PR = jnp.sum((WM.T @ (SXR / (hatSXR**2 + eps))) * HM, axis=1)
+        QR = jnp.sum((WM.T @ (1.0 / (hatSXR + eps))) * HM, axis=1)
+        betaR = betaR * (PR / (QR + eps)) ** 0.1
+        betaL, betaR = betaL + eps, betaR + eps
+        betaL = betaL / (betaL + betaR)
+        betaR = 1.0 - betaL
+        betaL2, betaR2 = betaL**2, betaR**2
+
+        SPHIL, SPHIR = alphaL**2 * SPHI, alphaR**2 * SPHI
+        SVL, SVR = SPHIL * SF0, SPHIR * SF0
+        SML = (WM * betaL2[None, :]) @ HM
+        SMR = (WM * betaR2[None, :]) @ HM
+        hatSXL, hatSXR = SVL + SML, SVR + SMR
+
+        err = 0.5 * (self._is_divergence(SXL, hatSXL) + self._is_divergence(SXR, hatSXR))
+        state = (HGAMMA, HPHI, HF0, WM, HM, alphaL, alphaR, betaL, betaR)
+        aux = (SVL, SVR, SML, SMR, hatSXL, hatSXR)
+        return state, aux, err
+
+    def fit_stereo(self, SXL, SXR, sHF0, seed: int = 0) -> dict:
+        """Second (stereo) pass with the melody-constrained sHF0 init:
+        power spectrograms SXL/SXR [N, F] -> separation factors with
+        per-channel gains (imm/tf_imm.py:354-618)."""
+        cfg = self.config
+        SXL = jnp.asarray(SXL, jnp.float32).T
+        SXR = jnp.asarray(SXR, jnp.float32).T
+        N = SXL.shape[1]
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 5)
+        state = (
+            jnp.abs(jax.random.normal(ks[0], (cfg.P, cfg.K))),
+            jnp.abs(jax.random.normal(ks[1], (cfg.K, N))),
+            jnp.asarray(sHF0, jnp.float32),
+            jnp.abs(jax.random.normal(ks[2], (cfg.F, cfg.R))),
+            jnp.abs(jax.random.normal(ks[3], (cfg.R, N))),
+            jnp.float32(0.5),
+            jnp.float32(0.5),
+            jax.random.uniform(ks[4], (cfg.R,)),
+            jnp.float32(1.0) - jax.random.uniform(ks[4], (cfg.R,)),
+        )
+        if not hasattr(self, "_stereo_iter_fn"):
+            self._stereo_iter_fn = jax.jit(self._stereo_iteration)
+
+        min_err, since, best = None, 0, None
+        for _ in range(cfg.niters):
+            state, aux, err = self._stereo_iter_fn(SXL, SXR, *state)
+            err = float(err)
+            if min_err is None or err < min_err:
+                min_err, since = err, 0
+                SVL, SVR, SML, SMR, hatSXL, hatSXR = aux
+                HGAMMA, HPHI, HF0, WM, HM, aL, aR, bL, bR = state
+                best = dict(
+                    HGAMMA=HGAMMA, HPHI=HPHI, HF0=HF0, WM=WM, HM=HM,
+                    alphaL=aL, alphaR=aR, betaL=bL, betaR=bR,
+                    SVL=SVL, SVR=SVR, SML=SML, SMR=SMR,
+                    hatSXL=hatSXL, hatSXR=hatSXR, err=err,
+                )
+            else:
+                since += 1
+            if since == cfg.patient_iters:
+                break
+        return best
+
+    def separate_stereo(self, XL, XR, stereo_result: dict):
+        """Wiener-mask separation + ISTFT resynthesis: complex spectra
+        XL/XR [N, F] -> dict(melody=(yL, yR), accompaniment=(yL, yR))."""
+        eps = self.config.eps
+
+        def mask_istft(X, S, hatS):
+            mask = np.asarray((S + eps) / (hatS + eps)).T  # [N, F]
+            return np.asarray(self.stft.istft(np.asarray(X) * mask))
+
+        return dict(
+            melody=(
+                mask_istft(XL, stereo_result["SVL"], stereo_result["hatSXL"]),
+                mask_istft(XR, stereo_result["SVR"], stereo_result["hatSXR"]),
+            ),
+            accompaniment=(
+                mask_istft(XL, stereo_result["SML"], stereo_result["hatSXL"]),
+                mask_istft(XR, stereo_result["SMR"], stereo_result["hatSXR"]),
+            ),
+        )
+
+    def constrained_HF0(self, HF0: np.ndarray, melody_states: np.ndarray) -> np.ndarray:
+        """Melody-constrained sHF0: keep only bins within half a semitone of
+        the decoded state per voiced frame (imm/tf_imm.py:720-739)."""
+        cfg = self.config
+        U = cfg.U
+        HF0 = np.asarray(HF0)
+        states = np.asarray(melody_states)
+        voiced = states < U
+        offset = cfg.bins_per_note // 2
+        start = np.maximum(states - offset, 0)
+        end = np.minimum(states + offset + 1, U)
+        bins = np.arange(U)[:, None]
+        mask = (bins >= start[None, :]) & (bins < end[None, :]) & voiced[None, :]
+        return np.where(mask, HF0, 0.0).astype(np.float32)
+
     def energies_for_f0s(self, result: dict, SX) -> np.ndarray:
         """Per-f0-bin Wiener energies [U, N] — vectorized to two matmuls:
         E[u,n] = HF0[u,n]^2 * sum_f WF0[f,u]^2 * (SPHI[f,n]/hatSX[f,n])^2 * SX[f,n]."""
