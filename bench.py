@@ -4,6 +4,10 @@ The driver metric (BASELINE.json): dense-transition max-plus Viterbi decode
 throughput on one TPU chip, 361 states (tonet configuration, padded to 384
 lanes), forward DP + backtrace, decoded states produced on device.
 
+Headline: the batched decoder (N=16 tracks share the VMEM-resident
+transition matrix — the serving shape of BASELINE config 4, "decoded in
+parallel over tracks"). Single-track throughput is reported in `detail`.
+
 vs_baseline compares against the reference's canonical optimized NumPy
 decoder (dcnet/tf_viterbi_decoding.py:156-207 semantics, reimplemented in
 hmm/oracle.py) measured on this host — the reference publishes no throughput
@@ -20,19 +24,26 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: repeated driver runs skip the (slow remote)
+    # Mosaic compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vspl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from viterbi_spl_tpu.hmm.oracle import viterbi_oracle
     from viterbi_spl_tpu.hmm.viterbi import prepare_log_params
     from viterbi_spl_tpu.hmm.viterbi_pallas import (
         viterbi_backtrace_pallas,
+        viterbi_backtrace_pallas_batch,
         viterbi_forward_pallas,
+        viterbi_forward_pallas_batch,
     )
 
-    S = 361
-    P = 384
-    T = 1 << 16  # 65536 frames (~11 min of audio at 10 ms hop)
-    BLOCK = 512
+    S, P = 361, 384
+    T = 1 << 15  # frames per track
+    N = 16  # tracks decoded together
+    BLOCK_B, BLOCK_S = 128, 512
 
     rng = np.random.default_rng(0)
     A = rng.random((S, S), dtype=np.float32) ** 4
@@ -42,77 +53,84 @@ def main():
     pi = rng.random(S)
     pi /= pi.sum()
     log_B, log_pi = prepare_log_params(A, pi, pad_to=P)
+    log_B_d, log_pi_d = jnp.asarray(log_B), jnp.asarray(log_pi)
 
-    # synthetic peaky posteriorgram in log domain, generated on device
     key = jax.random.PRNGKey(0)
-    log_obs = jax.random.uniform(key, (T, P), jnp.float32, -20.0, 0.0)
-    log_obs = jnp.where(
-        jnp.arange(P)[None, :] < S, log_obs, jnp.float32(-1e30)
-    ).block_until_ready()
-    log_B_d = jnp.asarray(log_B)
-    log_pi_d = jnp.asarray(log_pi)
-
-    import functools
+    log_obs_b = jax.random.uniform(key, (N, T, P), jnp.float32, -20.0, 0.0)
+    log_obs_b = jnp.where(
+        jnp.arange(P)[None, None, :] < S, log_obs_b, jnp.float32(-1e30)
+    )
+    lens = jnp.full((N,), T, jnp.int32)
 
     @jax.jit
-    def decode(log_obs):
-        t1_last, t1m1 = viterbi_forward_pallas(
-            log_B_d, log_pi_d, log_obs, T, block_frames=BLOCK, interpret=False
+    def decode_batch(o):
+        t1, t1m1 = viterbi_forward_pallas_batch(
+            log_B_d, log_pi_d, o, lens, block_frames=BLOCK_B, interpret=False
         )
-        last_state = jnp.argmax(t1_last).astype(jnp.int32)
-        states = viterbi_backtrace_pallas(
-            t1m1, log_B_d, last_state, T, block_frames=BLOCK, interpret=False
+        last = jnp.argmax(t1, axis=1).astype(jnp.int32)
+        return viterbi_backtrace_pallas_batch(
+            t1m1, log_B_d, last, lens, block_frames=BLOCK_B, interpret=False
         )
-        return states
 
-    # warmup/compile (checksum forces real completion through the async host)
-    chk = int(jnp.sum(decode(log_obs) % 7))
+    @jax.jit
+    def decode_single(o):
+        t1, t1m1 = viterbi_forward_pallas(
+            log_B_d, log_pi_d, o, T, block_frames=BLOCK_S, interpret=False
+        )
+        last = jnp.argmax(t1).astype(jnp.int32)
+        return viterbi_backtrace_pallas(
+            t1m1, log_B_d, last, T, block_frames=BLOCK_S, interpret=False
+        )
 
-    # correctness spot check on a prefix (oracle is O(T*S^2) on host)
+    # warmup/compile (checksums force completion through the async host)
+    chk = int(jnp.sum(decode_batch(log_obs_b) % 7))
+    chk_s = int(jnp.sum(decode_single(log_obs_b[0]) % 7))
+
+    # correctness spot check vs oracle on a prefix
     T_CHK = 2000
-    log_obs_chk = np.asarray(log_obs[:2048, :])
-    t1_last, t1m1 = viterbi_forward_pallas(
+    log_obs_chk = np.asarray(log_obs_b[0, :2048, :])
+    t1, t1m1 = viterbi_forward_pallas(
         log_B_d, log_pi_d, jnp.asarray(log_obs_chk), T_CHK,
-        block_frames=BLOCK, interpret=False,
+        block_frames=BLOCK_S, interpret=False,
     )
     st_chk = viterbi_backtrace_pallas(
-        t1m1, log_B_d, jnp.argmax(t1_last).astype(jnp.int32), T_CHK,
-        block_frames=BLOCK, interpret=False,
+        t1m1, log_B_d, jnp.argmax(t1).astype(jnp.int32), T_CHK,
+        block_frames=BLOCK_S, interpret=False,
     )
     ok = _oracle_check(
         log_obs_chk[:T_CHK, :S], log_B, log_pi, np.asarray(st_chk)[:T_CHK], S
     )
 
-    # timed runs (each iteration syncs via a scalar checksum readback)
-    n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        chk = int(jnp.sum(decode(log_obs) % 7))
-    dt = (time.perf_counter() - t0) / n_iters
-    fps = T / dt
+    def timed(fn, arg, frames, iters=5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            chk = int(jnp.sum(fn(arg) % 7))
+        dt = (time.perf_counter() - t0) / iters
+        return frames / dt, dt
 
-    # reference-semantics NumPy decoder baseline on a smaller T, extrapolated
+    fps_batch, dt_b = timed(decode_batch, log_obs_b, N * T)
+    fps_single, dt_s = timed(decode_single, log_obs_b[0], T)
+
+    # reference-semantics NumPy decoder baseline, extrapolated
     T_REF = 4000
-    obs_ref = np.exp(
-        np.asarray(log_obs[:T_REF, :S], np.float64)
-    )
+    obs_ref = np.exp(np.asarray(log_obs_b[0, :T_REF, :S], np.float64))
     obs_ref = (obs_ref / obs_ref.sum(axis=1, keepdims=True)).astype(np.float32).T
     t0 = time.perf_counter()
     viterbi_oracle(transition_matrix=A, prob_init=pi, probs_st=obs_ref)
-    ref_dt = time.perf_counter() - t0
-    ref_fps = T_REF / ref_dt
+    ref_fps = T_REF / (time.perf_counter() - t0)
 
     result = {
         "metric": "viterbi_decode_frames_per_sec_per_chip_361bins",
-        "value": round(fps, 1),
+        "value": round(fps_batch, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / ref_fps, 2),
+        "vs_baseline": round(fps_batch / ref_fps, 2),
         "detail": {
             "S": S,
             "padded_S": P,
-            "T": T,
-            "block_frames": BLOCK,
-            "decode_ms": round(dt * 1e3, 3),
+            "tracks_per_batch": N,
+            "frames_per_track": T,
+            "batch_decode_ms": round(dt_b * 1e3, 3),
+            "single_track_fps": round(fps_single, 1),
             "numpy_reference_fps": round(ref_fps, 1),
             "path_matches_oracle": bool(ok),
         },

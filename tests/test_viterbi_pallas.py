@@ -78,3 +78,36 @@ def test_pallas_reference_artifacts(rng):
         transition_matrix=A, prob_init=pi, probs_st=obs, block_frames=64
     )
     np.testing.assert_array_equal(expected, got)
+
+
+def test_batched_decode_matches_oracle(rng):
+    """Mixed-length batch, padded N, bit-identical paths per track."""
+    from viterbi_spl_tpu.hmm.viterbi_pallas import viterbi_decode_batch_pallas
+
+    S = 90
+    A, pi, _ = random_hmm(rng, S, 10)
+    tracks = []
+    expected = []
+    for T in (33, 64, 100):
+        _, _, obs = random_hmm(rng, S, T)
+        tracks.append(obs)
+        expected.append(viterbi_oracle(transition_matrix=A, prob_init=pi, probs_st=obs))
+    got = viterbi_decode_batch_pallas(
+        transition_matrix=A, prob_init=pi, probs_st_list=tracks, block_frames=32
+    )
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
+
+
+def test_batched_decode_ties(rng):
+    from viterbi_spl_tpu.hmm.viterbi_pallas import viterbi_decode_batch_pallas
+
+    S = 6
+    A = np.full((S, S), 1.0 / S, np.float32)
+    pi = np.full(S, 1.0 / S)
+    obs = np.full((S, 20), 1.0 / S, np.float32)
+    got = viterbi_decode_batch_pallas(
+        transition_matrix=A, prob_init=pi, probs_st_list=[obs, obs],
+        block_frames=16,
+    )
+    assert all(np.all(g == 0) for g in got)

