@@ -60,6 +60,12 @@ class DecoderSetup:
     method: str = "shaun"
     obs_p: float = 0.8
     obs_scale: float = 2.0
+    # imm: the threshold is already in the logit/log-energy domain
+    # (imm/thresholding.py:80, THRESHOLD = 2.442347)
+    threshold_is_logit: bool = False
+    # jdc maps decoded bins to notes directly, without the +/-1-bin
+    # probability interpolation (jdc/viterbi_softmax.py:2443-2470)
+    interp_est_notes: bool = True
 
     def __post_init__(self):
         if self.method not in ALLOWED_VITERBI_METHODS:
@@ -68,10 +74,16 @@ class DecoderSetup:
             self.transition_matrix, self.init_probs
         )
 
+    @property
+    def threshold_logit(self) -> float:
+        if self.threshold_is_logit:
+            return float(self.voicing_threshold)
+        return float(np.log(self.voicing_threshold / (1 - self.voicing_threshold)))
+
     # -- observation model ------------------------------------------------
     def observation_probs(self, logits: np.ndarray) -> jnp.ndarray:
         """logits [T, n_bins] -> obs weights [T, n_bins + 1] (unvoiced last)."""
-        th_logit = float(np.log(self.voicing_threshold / (1 - self.voicing_threshold)))
+        th_logit = self.threshold_logit
         if self.method == "shaun":
             return shaun_observation_probs(
                 jnp.asarray(logits), th_logit, self.spw, self.obs_p, self.obs_scale
@@ -106,37 +118,54 @@ def decode_and_score_track(
     ref_notes: np.ndarray,
     original: dict | None = None,
     logits_are_probs: bool = False,
+    voicing_logits: np.ndarray | None = None,
 ) -> dict:
     """One track through both metric paths.
 
-    logits: [T, n_bins] (sigmoid logits for the raw path). Returns dict with
-    raw/viterbi count dicts, est note vectors, and (when `original` ref
-    times/freqs are given) the mir_eval OAs for the cross-check.
+    logits: [T, n_bins] (sigmoid logits for the raw path).
+    voicing_logits: optional separate per-frame voicing logits (jdc) — the
+    raw path's voicing decision compares them to the threshold logit
+    instead of the peak probability.
+    Returns dict with raw/viterbi count dicts, est note vectors, and (when
+    `original` ref times/freqs are given) the mir_eval OAs.
     """
     T, n_bins = logits.shape
     probs = logits if logits_are_probs else jax.nn.sigmoid(jnp.asarray(logits))
     probs = jnp.asarray(probs)
 
+    def notes_from_bins(bins_arr):
+        if setup.interp_est_notes:
+            return est_notes_interp(
+                jnp.asarray(bins_arr, jnp.int32), probs, setup.note_min,
+                setup.bins_per_semitone, n_bins,
+            )
+        grid = setup.note_min + jnp.arange(n_bins) / setup.bins_per_semitone
+        return grid[jnp.minimum(jnp.asarray(bins_arr), n_bins - 1)]
+
     # raw path
     peak_idx = jnp.argmax(probs, axis=1).astype(jnp.int32)
     peak_probs = jnp.take_along_axis(probs, peak_idx[:, None], axis=1)[:, 0]
-    est_notes_raw = est_notes_interp(
-        peak_idx, probs, setup.note_min, setup.bins_per_semitone, n_bins
-    )
+    est_notes_raw = notes_from_bins(peak_idx)
+    if voicing_logits is not None:
+        voicing_score = jnp.asarray(voicing_logits)
+        th = jnp.float32(setup.threshold_logit)
+    elif setup.threshold_is_logit:
+        voicing_score = jnp.max(jnp.asarray(logits), axis=1)
+        th = jnp.float32(setup.voicing_threshold)
+    else:
+        voicing_score = peak_probs
+        th = jnp.float32(setup.voicing_threshold)
     raw_counts = frame_counts(
         jnp.asarray(ref_notes),
         est_notes_raw,
-        peak_probs,
-        jnp.asarray([setup.voicing_threshold], jnp.float32),
+        voicing_score,
+        jnp.asarray([th], jnp.float32),
     )
-    raw_voicing = np.asarray(peak_probs) > setup.voicing_threshold
+    raw_voicing = np.asarray(voicing_score) > float(th)
 
     # viterbi path
     voiced, bins = setup.decode(np.asarray(logits))
-    est_notes_vit = est_notes_interp(
-        jnp.asarray(bins, jnp.int32), probs, setup.note_min,
-        setup.bins_per_semitone, n_bins,
-    )
+    est_notes_vit = notes_from_bins(bins)
     vit_counts = frame_counts_fixed_voicing(
         jnp.asarray(ref_notes), est_notes_vit, jnp.asarray(voiced)
     )
@@ -188,6 +217,7 @@ def evaluate_posteriorgrams(
             track["notes"],
             original=track.get("original"),
             logits_are_probs=track.get("logits_are_probs", False),
+            voicing_logits=track.get("voicing_logits"),
         )
         raw.update(rec_idx, r["raw_counts"])
         vit.update(rec_idx, r["viterbi_counts"])
