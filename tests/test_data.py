@@ -196,3 +196,59 @@ def test_resample_notes_to_10ms():
     assert np.all((out == 0) | (np.abs(out - 60) < 1e-4))
     expected_len = int(np.floor(99 * HOP_256 / 0.01)) + 1
     assert len(out) == expected_len
+
+
+def test_rwc_melody_and_label(tmp_path):
+    from viterbi_spl_tpu.data.labels import rwc_label, rwc_melody_freqs
+
+    mel_dir = tmp_path / "popular" / "AIST.RWC-MDB-P-2001.MELODY"
+    mel_dir.mkdir(parents=True)
+    with open(mel_dir / "RM-P001.MELODY.TXT", "w") as fh:
+        for i in range(10, 50):
+            fh.write(f"{i} {i} m 220.0 0\n")
+    freqs = rwc_melody_freqs(0, 60, root=str(tmp_path))
+    assert freqs[5] == 0.0 and freqs[20] == 220.0
+    lb = rwc_label(0, 60, root=str(tmp_path))
+    v = lb["notes"][lb["notes"] > 0]
+    assert np.allclose(v, 12 * np.log2(220 / 440) + 69, atol=0.01)
+
+
+def test_rwc_rec_files(tmp_path):
+    from viterbi_spl_tpu.data.labels import rwc_rec_files
+
+    # two disks: 60 + 40 recordings
+    counts = [60, 40, 0, 0, 0, 0, 0]
+    for disk, cnt in enumerate(counts, start=1):
+        d = tmp_path / "popular" / f"RWC-MDB-P-2001-M0{disk}"
+        d.mkdir(parents=True)
+        for i in range(1, cnt + 1):
+            (d / f"{i} Song{i}.aiff").touch()
+    files = rwc_rec_files(root=str(tmp_path))
+    assert len(files) == 100
+    assert files[0].endswith("M01/1 Song1.aiff")
+    assert files[59].endswith("M01/60 Song60.aiff")
+    assert files[60].endswith("M02/1 Song1.aiff")
+
+
+def test_load_aiff_raw(tmp_path, rng):
+    """Round-trip through the stdlib aifc writer and both loaders."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    from viterbi_spl_tpu.io.wav import _load_aiff_raw, load_aiff
+
+    y = (rng.random(4000) * 2 - 1).astype(np.float32)
+    pcm = (y * 32767).astype(">i2")
+    path = tmp_path / "t.aiff"
+    with aifc.open(str(path), "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(2)
+        fh.setframerate(44100)
+        fh.writeframes(pcm.tobytes())
+    for loader in (load_aiff, _load_aiff_raw):
+        out, sr = loader(path, True)
+        assert sr == 44100
+        np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0, atol=1e-6)

@@ -151,3 +151,76 @@ def resample_notes_to_10ms(notes_256: np.ndarray) -> np.ndarray:
     times_10ms = np.arange(n_10ms) * 0.01
     notes, _ = resample_melody_series(times_256, notes_256, notes_256 > 0.1, times_10ms)
     return notes.astype(np.float32)
+
+
+def rwc_rec_files(root: str | None = None) -> list[str]:
+    """The 100 RWC popular-music aiff paths across the 7-disk layout
+    (dcnet/main.py:1346-1385): recordings are numbered consecutively across
+    disks; each file name starts with its within-disk index."""
+    import glob
+
+    root = root or os.environ["rwc"]
+    dir_path = os.path.join(root, "popular", "RWC-MDB-P-2001-M0")
+    per_disk = []
+    for disk in range(1, 8):
+        per_disk.append(sorted(glob.glob(os.path.join(dir_path + str(disk), "*.aiff"))))
+    counts = np.cumsum([len(d) for d in per_disk])
+    if counts[-1] != 100:
+        raise ValueError(f"expected 100 RWC recordings, found {counts[-1]}")
+    starts = np.concatenate([[0], counts])
+    rec_files = []
+    for rec_idx in range(100):
+        disk = int(np.searchsorted(starts, rec_idx, side="right")) - 1
+        within = rec_idx - starts[disk] + 1
+        for f in per_disk[disk]:
+            if os.path.basename(f).split()[0] == str(within):
+                rec_files.append(f)
+                break
+        else:
+            raise FileNotFoundError(f"RWC recording {rec_idx} not found")
+    return rec_files
+
+
+def rwc_melody_freqs(rec_idx: int, aiff_num_frames: int, root: str | None = None) -> np.ndarray:
+    """AIST MELODY.TXT -> per-10ms-frame frequencies (dcnet/main.py:1431-1461).
+
+    Lines are '<frame> <frame> m <freq> <...>'; frames without an entry are
+    unvoiced (0)."""
+    root = root or os.environ["rwc"]
+    path = os.path.join(
+        root, "popular", "AIST.RWC-MDB-P-2001.MELODY",
+        f"RM-P{rec_idx + 1:03d}.MELODY.TXT",
+    )
+    freqs = np.zeros(aiff_num_frames, np.float32)
+    with open(path) as fh:
+        for line in fh:
+            cols = line.split()
+            if len(cols) != 5 or cols[0] != cols[1] or cols[2] != "m":
+                raise ValueError(f"bad MELODY.TXT line: {line!r}")
+            frame_idx = int(cols[0])
+            freq = float(cols[3])
+            if not (freq == 0 or freq > 31.0):
+                raise ValueError(f"bad RWC melody frequency {freq}")
+            if frame_idx >= aiff_num_frames:
+                raise ValueError("melody annotation longer than audio")
+            freqs[frame_idx] = freq
+    return freqs
+
+
+def rwc_label(rec_idx: int, aiff_num_frames: int, root: str | None = None) -> dict:
+    """RWC labels resampled from the 10 ms grid to the 256-hop grid
+    (dcnet/main.py:1463-1490)."""
+    freqs_441 = rwc_melody_freqs(rec_idx, aiff_num_frames, root)
+    n = len(freqs_441)
+    n_256 = 1 + ((n - 1) * 441 + 255) // 256
+    times_441 = np.arange(n) * 0.01
+    times_256 = np.arange(n_256) * HOP_256
+    validity_check_of_ref_freqs(freqs_441)
+    freqs_256, _ = resample_melody_series(
+        times_441, freqs_441, freqs_441 > 0.1, times_256
+    )
+    validity_check_of_ref_freqs(freqs_256)
+    return dict(
+        notes=notes_from_freqs(freqs_256),
+        original=dict(times=times_441, freqs=freqs_441),
+    )
