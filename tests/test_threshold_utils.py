@@ -1,0 +1,66 @@
+"""Threshold-sweep tooling + runtime utils tests."""
+
+import numpy as np
+import pytest
+
+from viterbi_spl_tpu.harness.threshold import hard_vs_auto, sweep_voicing_thresholds
+from viterbi_spl_tpu.utils import Timer, configure_logging, device_summary
+
+
+def _tracks_and_setup(rng, n_tracks=2, T=250, n_bins=40):
+    from viterbi_spl_tpu.harness.evaluate import DecoderSetup
+    from viterbi_spl_tpu.hmm import params as P
+
+    q = [np.clip(20 + np.cumsum(rng.integers(-1, 2, 600)), 0, n_bins - 1)]
+    stats = P.count_statistics(q, n_bins)
+    A = P.shape_transition_matrix(
+        stats.transition_counts, np.array([[0.97, 0.03], [0.05, 0.95]]), n_bins, 4, 2
+    )
+    pi = P.shape_init_probs(stats.p_steady)
+    setup = DecoderSetup(
+        transition_matrix=A, init_probs=pi, n_bins=n_bins,
+        note_min=40.0, bins_per_semitone=5.0, spw=3,
+        voicing_threshold=0.5, hop_seconds=0.01,
+    )
+    tracks = []
+    for _ in range(n_tracks):
+        path = np.clip(20 + np.cumsum(rng.integers(-1, 2, T)), 0, n_bins - 1)
+        # voiced runs with peak prob ~0.9, unvoiced with ~0.2
+        voiced = np.repeat(rng.random(T // 25 + 1) > 0.3, 25)[:T]
+        notes = np.where(voiced, 40.0 + path / 5.0, 0.0).astype(np.float32)
+        logits = np.full((T, n_bins), -4.0, np.float32)
+        peak_logit = np.where(voiced, 2.2, -1.4)  # sigmoid: 0.9 / 0.2
+        logits[np.arange(T), path] = peak_logit
+        tracks.append(dict(logits=logits, notes=notes))
+    return setup, tracks
+
+
+def test_sweep_selects_separating_threshold(rng):
+    setup, tracks = _tracks_and_setup(rng)
+    out = sweep_voicing_thresholds(setup, tracks)
+    assert len(out["thresholds"]) == 99
+    assert 0.2 < out["best_threshold"] < 0.9
+    k = int(np.argmax(out["va"]))
+    assert out["va"][k] > 0.95
+    # OA at the separating threshold beats the extremes
+    assert out["oa"][k] > out["oa"][0] and out["oa"][k] > out["oa"][-1]
+
+
+def test_hard_vs_auto(rng):
+    setup, val_tracks = _tracks_and_setup(rng)
+    _, test_tracks = _tracks_and_setup(rng)
+    out = hard_vs_auto(setup, val_tracks, test_tracks, hard_threshold=0.99)
+    # a 0.99 hard threshold kills voicing recall; auto must beat it
+    assert out["auto"]["raw_mean_oa"] > out["hard"]["raw_mean_oa"]
+
+
+def test_timer_and_logging():
+    configure_logging(debug=False)
+    t = Timer()
+    with t.span("a"):
+        sum(range(1000))
+    with t.span("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a:" in t.report()
+    assert "device" in device_summary()
