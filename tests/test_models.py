@@ -183,3 +183,20 @@ def test_tonet_labels_and_loss():
     )
     loss = float(tonet_loss(notes, logits))
     assert np.isfinite(loss) and loss > 0
+
+
+def test_mcdnn_shapes():
+    from viterbi_spl_tpu.models.provenance import MCDNN
+
+    x = jnp.zeros((2, 3, 360, 16))
+    out, _ = init_and_apply(MCDNN(), x)
+    assert out.shape == (2, 361, 16)
+
+
+def test_mldrnet_shapes():
+    from viterbi_spl_tpu.models.provenance import MLDRnet
+
+    x = jnp.zeros((1, 3, 360, 16))
+    out, _ = init_and_apply(MLDRnet(), x)
+    assert out.shape == (1, 361, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
