@@ -64,3 +64,13 @@ def test_timer_and_logging():
     assert t.counts["a"] == 2
     assert "a:" in t.report()
     assert "device" in device_summary()
+
+
+def test_obs_hyperparam_sweep(rng):
+    from viterbi_spl_tpu.harness.threshold import sweep_obs_hyperparams
+
+    setup, tracks = _tracks_and_setup(rng, n_tracks=1, T=150)
+    out = sweep_obs_hyperparams(setup, tracks, ps=(0.6, 0.8), scales=(1.0, 2.0))
+    assert out["oa"].shape == (2, 2)
+    assert out["best_p"] in (0.6, 0.8)
+    assert np.all(out["oa"] > 0.5)

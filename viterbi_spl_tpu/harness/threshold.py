@@ -91,3 +91,26 @@ def hard_vs_auto(
         auto=evaluate_posteriorgrams(auto_setup, test_tracks),
         hard=evaluate_posteriorgrams(hard_setup, test_tracks),
     )
+
+
+def sweep_obs_hyperparams(
+    setup: DecoderSetup,
+    tracks: Sequence[dict],
+    ps: Sequence[float] = (0.6, 0.7, 0.8, 0.9),
+    scales: Sequence[float] = (1.0, 2.0, 4.0),
+) -> dict:
+    """The tonet/hyper_parameter_selection.py sweep: grid over the shaun
+    observation model's (p, scale), scored by mean Viterbi OA. The reference
+    selected p=0.8, scale=2 on validation (dcnet/softmax_viterbi.py:41-50)."""
+    from .evaluate import evaluate_posteriorgrams
+
+    results = np.zeros((len(ps), len(scales)), np.float32)
+    for i, p in enumerate(ps):
+        for j, s in enumerate(scales):
+            cfg = dataclasses.replace(setup, obs_p=float(p), obs_scale=float(s))
+            results[i, j] = evaluate_posteriorgrams(cfg, tracks)["viterbi_mean_oa"]
+    best = np.unravel_index(int(np.argmax(results)), results.shape)
+    return dict(
+        ps=list(ps), scales=list(scales), oa=results,
+        best_p=float(ps[best[0]]), best_scale=float(scales[best[1]]),
+    )
