@@ -565,11 +565,15 @@ def viterbi_decode_batch_pallas(
     probs_st_list,
     block_frames: int = 128,
     interpret: bool | None = None,
+    allow_banded: bool = True,
 ) -> list[np.ndarray]:
     """Decode a list of [S, T_i] posteriorgram tracks together on one chip.
 
     Pads N to a multiple of 8 and T to a common block multiple; returns
-    per-track [T_i] int64 state paths, bit-identical to the oracle."""
+    per-track [T_i] int64 state paths, bit-identical to the oracle.
+    When the transition matrix has the banded+constant-coupling structure
+    of the shaped melody HMMs (and allow_banded), the forward pass runs the
+    exact banded fast path (see viterbi_banded.py)."""
     S = np.asarray(transition_matrix).shape[0]
     P = _round_up(S, LANE)
     log_B, log_pi = prepare_log_params(transition_matrix, prob_init, pad_to=P)
@@ -586,10 +590,23 @@ def viterbi_decode_batch_pallas(
     len_vec = np.asarray(lengths + [1] * (N - N_real), np.int32)
 
     log_B_d = jnp.asarray(log_B)
-    t1_last, t1m1 = viterbi_forward_pallas_batch(
-        log_B_d, jnp.asarray(log_pi), jnp.asarray(log_obs), len_vec,
-        block_frames=block_frames, interpret=interpret,
-    )
+    bstruct = None
+    if allow_banded:
+        from .viterbi_banded import extract_banded_structure
+
+        bstruct = extract_banded_structure(np.asarray(transition_matrix), P)
+    if bstruct is not None:
+        from .viterbi_banded import viterbi_forward_pallas_banded_batch
+
+        t1_last, t1m1 = viterbi_forward_pallas_banded_batch(
+            bstruct, jnp.asarray(log_pi), jnp.asarray(log_obs), len_vec,
+            block_frames=block_frames, interpret=interpret,
+        )
+    else:
+        t1_last, t1m1 = viterbi_forward_pallas_batch(
+            log_B_d, jnp.asarray(log_pi), jnp.asarray(log_obs), len_vec,
+            block_frames=block_frames, interpret=interpret,
+        )
     last_states = np.argmax(np.asarray(t1_last)[:, :S], axis=1).astype(np.int32)
     states = viterbi_backtrace_pallas_batch(
         t1m1, log_B_d, last_states, len_vec,
