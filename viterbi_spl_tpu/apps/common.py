@@ -1,0 +1,302 @@
+"""Shared application template.
+
+Reproduces the reference's per-script shape (Config -> AcousticModel ->
+TFDataset(s) -> Metrics -> Model -> main() with training_fn/inference_fn,
+e.g. dcnet/softmax_viterbi.py:3377-3602) on top of the harness:
+
+- a synthetic-data factory standing in for the dataset roots (the
+  reference's DEBUG mode truncates real splits; without mounted corpora we
+  synthesize tiny melodic tracks instead),
+- a generic jitted train step (BatchNorm/dropout aware, optional manual
+  weight decay and l2 regularization),
+- a validation pass producing the 99-point threshold grid and mean OA,
+- the Trainer loop (early stopping + orbax checkpoints + resume),
+- an inference pass running the dual raw/Viterbi evaluation with HMM
+  parameters built on the fly from the validation labels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import TrackDataset, training_snippets
+from ..data.snippets import inference_snippets
+from ..families import FamilySpec
+from ..harness import Trainer, TrainState
+from ..harness.evaluate import DecoderSetup, evaluate_posteriorgrams
+from ..hmm import params as hmm_params
+from ..metrics.melody import MelodyMetrics, est_notes_interp, frame_counts
+from ..metrics.mel_eval import midi_to_hz
+
+
+@dataclasses.dataclass
+class AppConfig:
+    family: FamilySpec
+    make_model: Callable[[], object]
+    loss_fn: Callable  # (notes, model_output) -> scalar
+    logits_adapter: Callable  # model_output -> [B, T, n_bins] pitch logits
+    snippet_len: int
+    batch_size: int
+    learning_rate: float
+    feature_shape: tuple  # per-frame feature shape, e.g. (320, 3)
+    # fixed-input models (ftanet/jdc/tonet) require exactly snippet_len
+    # frames: inference zero-pads chunks (chunk_fixed) instead of serving a
+    # ragged final snippet
+    fixed_chunks: bool = False
+    # optional transform from [B, T, ...] snippet layout to the model's
+    # input layout (e.g. tonet wants [B, 3, 360, T])
+    input_adapter: Callable | None = None
+
+
+def synthetic_dataset(
+    cfg: AppConfig, n_tracks: int, frames: int, seed: int
+) -> TrackDataset:
+    """Tiny synthetic tracks: wandering melody notes + noisy features that
+    carry the label (a learnable mapping for smoke training)."""
+    rng = np.random.default_rng(seed)
+    spec_store: dict[str, np.ndarray] = {}
+    label_store: dict[str, dict] = {}
+    note_range = cfg.family.note_range
+    n_bins = cfg.family.n_bins
+
+    for i in range(n_tracks):
+        tid = f"syn{i}"
+        path = np.clip(
+            n_bins // 2 + np.cumsum(rng.integers(-2, 3, frames)), 0, n_bins - 1
+        )
+        voiced = np.repeat(rng.random(frames // 20 + 1) > 0.25, 20)[:frames]
+        notes = np.where(voiced, note_range[path], 0.0).astype(np.float32)
+        feat = rng.normal(0, 0.3, (frames, *cfg.feature_shape)).astype(np.float32)
+        # embed the label as a bump in the first feature channel
+        bins = np.minimum(
+            (path * cfg.feature_shape[0]) // n_bins, cfg.feature_shape[0] - 1
+        )
+        sel = (np.arange(frames), bins) + (0,) * (len(cfg.feature_shape) - 1)
+        feat[sel] += np.where(voiced, 2.0, 0.0)
+        freqs = np.where(notes > 0, midi_to_hz(notes), 0.0)
+        spec_store[tid] = feat
+        label_store[tid] = dict(
+            notes=notes,
+            original=dict(times=np.arange(frames) * cfg.family.hop_seconds,
+                          freqs=freqs),
+        )
+
+    return TrackDataset(
+        list(spec_store), lambda t: spec_store[t], lambda t: label_store[t]
+    )
+
+
+def init_model(cfg: AppConfig, sample_batch: np.ndarray):
+    model = cfg.make_model()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(sample_batch), train=False
+    )
+    return model, variables["params"], variables.get("batch_stats", {})
+
+
+def make_train_step(cfg: AppConfig, model, tx):
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, batch):
+        spec, notes = batch
+        if cfg.input_adapter is not None:
+            spec = cfg.input_adapter(spec)
+
+        def loss(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                spec,
+                train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            return cfg.loss_fn(notes, out), upd["batch_stats"]
+
+        (l, bs), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, bs, opt_state, l
+
+    return train_step
+
+
+def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset):
+    """Ordered inference over a dataset -> per-track pitch logits [T, n_bins]."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def forward(spec):
+        if cfg.input_adapter is not None:
+            spec = cfg.input_adapter(spec)
+        return model.apply(variables, spec, train=False)
+
+    if cfg.fixed_chunks:
+        from ..data import chunk_fixed
+
+        out_list = []
+        for track in dataset.tracks:
+            chunks, _, T = chunk_fixed(
+                track.spectrogram, track.notes, cfg.snippet_len
+            )
+            logits = np.concatenate(
+                [np.asarray(cfg.logits_adapter(forward(jnp.asarray(c)[None])))[0]
+                 for c in chunks],
+                axis=0,
+            )
+            out_list.append(logits[:T])
+        return out_list
+
+    per_track: dict[int, list[np.ndarray]] = {}
+    for item in inference_snippets(dataset, cfg.snippet_len):
+        out = forward(jnp.asarray(item["spectrogram"])[None])
+        logits = np.asarray(cfg.logits_adapter(out))[0]
+        per_track.setdefault(item["rec_idx"], []).append(logits)
+    return [
+        np.concatenate(per_track[i], axis=0)[: dataset[i].num_frames]
+        for i in range(len(dataset))
+    ]
+
+
+def make_validate(cfg: AppConfig, model, dataset):
+    def validate(state: TrainState) -> dict:
+        logits_list = model_logits_for_dataset(cfg, model, state, dataset)
+        mm = MelodyMetrics.validation_grid(len(dataset))
+        for rec_idx, logits in enumerate(logits_list):
+            probs = jax.nn.sigmoid(jnp.asarray(logits))
+            peak_idx = jnp.argmax(probs, axis=1).astype(jnp.int32)
+            peak_probs = jnp.take_along_axis(probs, peak_idx[:, None], axis=1)[:, 0]
+            est = est_notes_interp(
+                peak_idx, probs, cfg.family.note_min,
+                cfg.family.bins_per_semitone, cfg.family.n_bins,
+            )
+            counts = frame_counts(
+                jnp.asarray(dataset[rec_idx].notes), est, peak_probs,
+                jnp.asarray(mm.thresholds),
+            )
+            mm.update(rec_idx, {k: np.asarray(v) for k, v in counts.items()})
+        idx, th = mm.best_voicing_threshold()
+        return dict(oa=float(mm.results(idx)["oa"].mean()), voicing_threshold=th)
+
+    return validate
+
+
+def build_decoder_setup(cfg: AppConfig, val_dataset, voicing_threshold: float,
+                        method: str = "shaun") -> DecoderSetup:
+    """HMM parameters from the validation labels (the reference's offline
+    pipeline, SURVEY.md §3.5), then a DecoderSetup for this family."""
+    spec = cfg.family
+    note_max = float(spec.note_range[-1])
+    q = [
+        hmm_params.quantize_ref_notes(
+            t.notes, spec.note_min, note_max, spec.bins_per_semitone, spec.n_bins
+        )
+        for t in val_dataset.tracks
+    ]
+    stats = hmm_params.count_statistics(q, spec.n_bins)
+    A = hmm_params.shape_transition_matrix(
+        stats.transition_counts, stats.switch, spec.n_bins,
+        spec.d_max or 12, spec.floor or 2,
+    )
+    pi = hmm_params.shape_init_probs(stats.p_steady)
+    return DecoderSetup(
+        transition_matrix=A, init_probs=pi, n_bins=spec.n_bins,
+        note_min=spec.note_min, bins_per_semitone=spec.bins_per_semitone,
+        spw=spec.spw, voicing_threshold=voicing_threshold,
+        hop_seconds=spec.hop_seconds, method=method,
+    )
+
+
+def run_inference(cfg: AppConfig, model, state, dataset, setup) -> dict:
+    logits_list = model_logits_for_dataset(cfg, model, state, dataset)
+    tracks = [
+        dict(
+            logits=lg,
+            notes=track.notes,
+            original=dict(times=track.original_times, freqs=track.original_freqs),
+        )
+        for lg, track in zip(logits_list, dataset.tracks)
+    ]
+    return evaluate_posteriorgrams(setup, tracks)
+
+
+def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
+    ap = argparse.ArgumentParser(description=f"{cfg.family.name} app")
+    ap.add_argument("mode", choices=["train", "infer"])
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--ckpt", default=f"ckpts/{cfg.family.name}")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--epochs", type=int, default=10_000)
+    ap.add_argument("--steps-per-epoch", type=int, default=None)
+    ap.add_argument("--patience", type=int, default=20)
+    ap.add_argument("--viterbi-method", default="shaun")
+    args = ap.parse_args(argv)
+
+    if args.synthetic:
+        n, frames = (2, 400) if args.debug else (6, 2000)
+        datasets = dict(
+            training=synthetic_dataset(cfg, n, frames, 0),
+            validation=synthetic_dataset(cfg, max(n // 2, 1), frames, 1),
+            test=synthetic_dataset(cfg, max(n // 2, 1), frames, 2),
+        )
+    else:
+        if build_real_datasets is None:
+            raise SystemExit("real datasets not wired for this family yet")
+        datasets = build_real_datasets(debug=args.debug)
+
+    sample = datasets["training"][0].spectrogram[: cfg.snippet_len][None]
+    if cfg.fixed_chunks and sample.shape[1] < cfg.snippet_len:
+        pad = cfg.snippet_len - sample.shape[1]
+        sample = np.pad(sample, [(0, 0), (0, pad)] + [(0, 0)] * (sample.ndim - 2))
+    if cfg.input_adapter is not None:
+        sample = np.asarray(cfg.input_adapter(jnp.asarray(sample)))
+
+    model, params, batch_stats = init_model(cfg, sample)
+    tx = optax.adam(cfg.learning_rate)
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=tx.init(params))
+    validate = make_validate(cfg, model, datasets["validation"])
+    trainer = Trainer(
+        make_train_step(cfg, model, tx), validate, ckpt_path=args.ckpt,
+        patience_epochs=args.patience, max_epochs=args.epochs,
+    )
+
+    if args.mode == "train":
+        rng = np.random.default_rng(0)
+        snippets = training_snippets(datasets["training"], cfg.snippet_len, rng)
+
+        def batches():
+            while True:
+                items = [next(snippets) for _ in range(cfg.batch_size)]
+                items = [
+                    i for i in items if len(i["notes"]) == cfg.snippet_len
+                ] or items[:1]
+                spec = jnp.asarray(np.stack([i["spectrogram"] for i in items]))
+                notes = jnp.asarray(np.stack([i["notes"] for i in items]))
+                yield spec, notes
+
+        steps = args.steps_per_epoch or max(
+            len(datasets["training"]) * 4, 8
+        )
+        state = trainer.fit(state, batches(), steps, resume=args.resume)
+        print(f"best val OA {state.best_oa:.4f} @ epoch {state.best_epoch}, "
+              f"threshold {state.voicing_threshold:.2f}")
+        return state
+
+    state = trainer.restore(state)
+    setup = build_decoder_setup(
+        cfg, datasets["validation"], state.voicing_threshold, args.viterbi_method
+    )
+    for split in ("validation", "test"):
+        out = run_inference(cfg, model, state, datasets[split], setup)
+        print(
+            f"{split}: raw OA {out['raw_mean_oa']:.4f}, "
+            f"viterbi OA {out['viterbi_mean_oa']:.4f}"
+        )
+    return state

@@ -1,0 +1,125 @@
+"""IMM app (reference imm/main_imm.py + imm/thresholding.py): the NMF is
+fitted per recording at inference; three evaluation methods:
+
+- original:      HF0 log observations -> Viterbi with the analytic
+                 transition + cumulative-energy voicing (imm/tf_imm.py:680-776),
+- thresholding:  log-energy logits + hard energy threshold (raw path),
+- viterbi:       shaun observation model (spw=20) over the log-energy
+                 logits + shaped decoding (imm/thresholding.py:157-941).
+
+Run: python -m viterbi_spl_tpu.apps.imm eval --synthetic --debug
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..families import family_spec
+from ..harness.evaluate import DecoderSetup, evaluate_posteriorgrams
+from ..models.adapters import imm_pitch_logits
+from ..models.imm import IMM, IMMConfig
+
+
+def synthetic_tracks(imm: IMM, n_tracks: int, seconds: float, seed: int):
+    """Synthetic harmonic mixtures -> per-track log-energy logits + labels."""
+    from ..metrics.mel_eval import hz_to_midi
+
+    rng = np.random.default_rng(seed)
+    tracks = []
+    for _ in range(n_tracks):
+        sr = imm.config.fs
+        n = int(sr * seconds)
+        t = np.arange(n) / sr
+        f0 = 220.0 * 2 ** rng.uniform(-0.5, 0.5)
+        y = sum((0.6 / k) * np.sin(2 * np.pi * f0 * k * t) for k in range(1, 6))
+        y = (y + 0.02 * rng.normal(size=n)).astype(np.float32)
+        logits_un = imm.logits(y, seed=seed)
+        logits = imm_pitch_logits(logits_un)
+        T = logits.shape[0]
+        notes = np.full(T, hz_to_midi(np.array([f0]))[0], np.float32)
+        from ..metrics.mel_eval import midi_to_hz
+
+        freqs = midi_to_hz(notes)
+        tracks.append(
+            dict(
+                logits=logits,
+                notes=notes,
+                original=dict(
+                    times=np.arange(T) * imm.config.h / sr, freqs=freqs
+                ),
+            )
+        )
+    return tracks
+
+
+def build_setup(imm: IMM, method: str = "shaun") -> DecoderSetup:
+    spec = family_spec("imm") if imm.config.U == 721 else None
+    from ..metrics.mel_eval import hz_to_midi
+
+    note_range = hz_to_midi(imm.f0s).astype(np.float32)
+    A = imm.transition_matrix
+    pi = np.full(imm.config.U + 1, 1.0 / (imm.config.U + 1))
+    return DecoderSetup(
+        transition_matrix=A,
+        init_probs=pi,
+        n_bins=imm.config.U,
+        note_min=float(note_range[0]),
+        bins_per_semitone=float(imm.config.bins_per_note),
+        spw=20 if imm.config.U == 721 else max(imm.config.bins_per_note, 2),
+        voicing_threshold=2.442347,  # log-energy threshold (imm/thresholding.py:80)
+        hop_seconds=imm.config.h / imm.config.fs,
+        method=method,
+        threshold_is_logit=True,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="imm app")
+    ap.add_argument("mode", choices=["eval"])
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--debug", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = (
+        IMMConfig(w=512, h=64, niters=15, R=6, P=8, K=4, bins_per_note=4)
+        if args.debug
+        else IMMConfig()
+    )
+    imm = IMM(cfg)
+
+    if args.synthetic:
+        tracks = synthetic_tracks(imm, 2 if args.debug else 6,
+                                  0.5 if args.debug else 5.0, seed=0)
+    else:
+        import os
+
+        from ..data import medleydb_splits
+        from ..io.wav import load_wav
+
+        tracks = []
+        for tid in medleydb_splits()["test"]:
+            wav = os.path.join(os.environ["medleydb"], tid, tid + "_MIX.wav")
+            samples, _ = load_wav(wav, sr=imm.config.fs)
+            logits = imm_pitch_logits(imm.logits(samples))
+            from ..data.labels import medleydb_label
+            from ..data.vocals import is_vocals_from_sections
+
+            lb = medleydb_label(tid, is_vocals_from_sections(tid))
+            tracks.append(
+                dict(logits=logits, notes=lb["notes"][: logits.shape[0]],
+                     original=lb["original"])
+            )
+
+    setup = build_setup(imm)
+    out = evaluate_posteriorgrams(setup, tracks)
+    print(
+        f"thresholding OA {out['raw_mean_oa']:.4f}, "
+        f"viterbi OA {out['viterbi_mean_oa']:.4f}"
+    )
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""TONet app (reference tonet/main_shaun.py): 128-frame tonet-CFP chunks,
+dual-backbone TONet with mean-of-3-CE pitch/chroma/octave loss."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..families import family_spec
+from ..models import TONet, tonet_loss
+from .common import AppConfig, app_main
+
+
+def _input_adapter(spec):
+    # snippet layout [B, T, 3, 360] -> model layout [B, 3, 360, T]
+    return jnp.transpose(spec, (0, 2, 3, 1))
+
+
+def _logits_adapter(out):
+    pitch = jnp.transpose(out["pitch"], (0, 2, 1))  # [B, T, 361]
+    return pitch[..., 1:] - pitch[..., :1]
+
+
+def config() -> AppConfig:
+    return AppConfig(
+        family=family_spec("tonet"),
+        make_model=lambda: TONet(),
+        loss_fn=tonet_loss,
+        logits_adapter=_logits_adapter,
+        snippet_len=128,
+        batch_size=4,
+        learning_rate=1e-4,
+        feature_shape=(3, 360),
+        fixed_chunks=True,
+        input_adapter=_input_adapter,
+    )
+
+
+def build_real_datasets(debug: bool = False):
+    from ..data import TrackDataset, medleydb_splits
+    from ..data.labels import medleydb_label, resample_notes_to_10ms
+    from ..data.vocals import is_vocals_from_sections
+    from ..frontend import CFP, TONET_CFP
+    from ..io.wav import load_wav
+    import os
+    import numpy as np
+
+    cfp = CFP(TONET_CFP)
+
+    def spec_fn(tid):
+        wav = os.path.join(os.environ["medleydb"], tid, tid + "_MIX.wav")
+        samples, _ = load_wav(wav, sr=8000)
+        feat = cfp.features(samples)  # [T, 360, 3]
+        return np.ascontiguousarray(feat.transpose(0, 2, 1))  # [T, 3, 360]
+
+    def label_fn(tid):
+        lb = medleydb_label(tid, is_vocals_from_sections(tid))
+        lb["notes"] = resample_notes_to_10ms(lb["notes"])
+        return lb
+
+    splits = medleydb_splits()
+    if debug:
+        splits = {k: v[:2] for k, v in splits.items()}
+    return {
+        name: TrackDataset(tids, spec_fn, label_fn, max_length_diff=2)
+        for name, tids in splits.items()
+    }
+
+
+def main(argv=None):
+    return app_main(config(), build_real_datasets, argv)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,16 +100,42 @@ class DecoderSetup:
     def decode(self, logits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """logits [T, n_bins] -> (voiced [T] bool, bins [T] int) — the
         Viterbi __call__ contract (dcnet/softmax_viterbi.py:2419-2432)."""
-        obs = self.observation_probs(logits)
-        log_obs = log_obs_fn(obs)
-        t1_last, T2 = viterbi_forward_jax(
-            jnp.asarray(self._log_B), jnp.asarray(self._log_pi), log_obs
-        )
-        last = jnp.argmax(t1_last).astype(jnp.int32)
-        states = np.asarray(viterbi_backtrace_jax(T2, last))
-        voiced = states < self.n_bins
-        bins = np.minimum(states, self.n_bins - 1)
-        return voiced, bins
+        return self.decode_batch([logits])[0]
+
+    def decode_batch(
+        self, logits_list: Sequence[np.ndarray]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Decode many tracks together. On TPU this runs the batched Pallas
+        kernels (banded fast path when the transition structure allows);
+        elsewhere it falls back to the lax.scan decoder per track. Paths are
+        bit-identical across backends (tested)."""
+        obs_list = [np.asarray(self.observation_probs(lg)) for lg in logits_list]
+
+        if jax.default_backend() == "tpu":
+            from ..hmm.viterbi_pallas import viterbi_decode_batch_pallas
+
+            states_list = viterbi_decode_batch_pallas(
+                transition_matrix=self.transition_matrix,
+                prob_init=self.init_probs,
+                probs_st_list=[o.T for o in obs_list],
+            )
+        else:
+            states_list = []
+            for obs in obs_list:
+                t1_last, T2 = viterbi_forward_jax(
+                    jnp.asarray(self._log_B),
+                    jnp.asarray(self._log_pi),
+                    log_obs_fn(jnp.asarray(obs)),
+                )
+                last = jnp.argmax(t1_last).astype(jnp.int32)
+                states_list.append(np.asarray(viterbi_backtrace_jax(T2, last)))
+
+        out = []
+        for states in states_list:
+            voiced = states < self.n_bins
+            bins = np.minimum(states, self.n_bins - 1)
+            out.append((voiced, bins))
+        return out
 
 
 def decode_and_score_track(

@@ -79,7 +79,8 @@ def gaussian_blur_targets(ref_notes, note_range, sigma, normalize: bool):
 def dcnet_loss(ref_notes, logits):
     """Per-bin BCE vs blurred targets (no non-melody class)."""
     note_range = jnp.asarray(DCNET_NOTE_RANGE)
-    ref_notes = jnp.minimum(ref_notes, note_range[-1] + 0.4)
+    ref_notes = jnp.minimum(ref_notes.reshape(-1), note_range[-1] + 0.4)
+    logits = logits.reshape(-1, note_range.shape[0])
     targets = gaussian_blur_targets(ref_notes, note_range, 0.18, normalize=False)
     loss = _bce_with_logits(targets, logits)
     return jnp.mean(loss)
