@@ -300,3 +300,104 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
             f"viterbi OA {out['viterbi_mean_oa']:.4f}"
         )
     return state
+
+
+def build_external_eval_datasets(
+    spec_fn: Callable[[np.ndarray], np.ndarray],
+    sr: int,
+    labels_on_10ms: bool = False,
+    debug: bool = False,
+) -> dict[str, TrackDataset]:
+    """Evaluation datasets beyond MedleyDB (the reference evaluates every
+    family on adc04/mirex05/mir1k/rwc as well; dcnet/softmax_viterbi.py
+    §TFDatasetForAdc04.. ForRWC). `spec_fn` maps raw samples (at `sr`) to
+    features; labels are resampled to 10 ms when the family uses that hop.
+    Only corpora whose env-var roots are set are returned."""
+    import os
+
+    from ..data import adc04_track_ids, mir1k_track_ids, mirex05_track_ids
+    from ..data.labels import (
+        adc04_label,
+        mir1k_label,
+        mirex05_label,
+        resample_notes_to_10ms,
+        rwc_label,
+        rwc_rec_files,
+    )
+    from ..io.wav import load_aiff, load_wav
+
+    def maybe_10ms(lb):
+        if labels_on_10ms:
+            lb["notes"] = resample_notes_to_10ms(lb["notes"])
+        return lb
+
+    out: dict[str, TrackDataset] = {}
+
+    if os.environ.get("adc04"):
+        tids = adc04_track_ids()[: 2 if debug else None]
+        root = os.environ["adc04"]
+        out["adc04"] = TrackDataset(
+            tids,
+            lambda t: spec_fn(load_wav(os.path.join(root, t + ".wav"), sr=sr)[0]),
+            lambda t: maybe_10ms(adc04_label(t)),
+            max_length_diff=2,
+        )
+
+    if os.environ.get("mirex05"):
+        tids = mirex05_track_ids()[: 2 if debug else None]
+        root = os.environ["mirex05"]
+        out["mirex05"] = TrackDataset(
+            tids,
+            lambda t: spec_fn(load_wav(os.path.join(root, t + ".wav"), sr=sr)[0]),
+            lambda t: maybe_10ms(mirex05_label(t)),
+            max_length_diff=2,
+        )
+
+    if os.environ.get("mir1k"):
+        root = os.environ["mir1k"]
+        tids = mir1k_track_ids()[: 2 if debug else None]
+
+        def mir1k_lb(t):
+            import wave
+
+            with wave.open(
+                os.path.join(root, "Wavfile", t + ".wav"), "rb"
+            ) as fh:
+                n = fh.getnframes()
+            return maybe_10ms(mir1k_label(t, n))
+
+        out["mir1k"] = TrackDataset(
+            tids,
+            lambda t: spec_fn(
+                load_wav(os.path.join(root, "Wavfile", t + ".wav"), sr=sr)[0]
+            ),
+            mir1k_lb,
+            max_length_diff=2,
+        )
+
+    if os.environ.get("rwc"):
+        rec_files = rwc_rec_files()
+        n = 2 if debug else len(rec_files)
+
+        def rwc_spec(t):
+            samples, file_sr = load_aiff(rec_files[int(t)])
+            if file_sr != sr:
+                from ..io.wav import resample_poly
+                from math import gcd
+
+                g = gcd(sr, file_sr)
+                samples = resample_poly(samples, sr // g, file_sr // g).astype(
+                    np.float32
+                )
+            return spec_fn(samples)
+
+        def rwc_lb(t):
+            samples, file_sr = load_aiff(rec_files[int(t)])
+            frames_10ms = (len(samples) + file_sr // 100 - 1) // (file_sr // 100)
+            return maybe_10ms(rwc_label(int(t), frames_10ms))
+
+        out["rwc"] = TrackDataset(
+            [str(i) for i in range(n)], rwc_spec, rwc_lb, max_length_diff=2
+        )
+
+    return out
