@@ -1,0 +1,74 @@
+"""Fixed-lag streaming decoder tests."""
+
+import numpy as np
+import pytest
+
+from conftest import random_hmm
+from viterbi_spl_tpu.hmm.oracle import viterbi_oracle
+from viterbi_spl_tpu.hmm.streaming import StreamingViterbi
+
+
+def test_large_lag_equals_offline(rng):
+    S, T = 40, 120
+    A, pi, obs = random_hmm(rng, S, T)
+    expected = viterbi_oracle(transition_matrix=A, prob_init=pi, probs_st=obs)
+
+    sv = StreamingViterbi(A, pi, lag=T + 10)
+    chunks = np.split(obs.T, [13, 50, 51, 100])  # ragged chunking
+    out = [sv.push(c) for c in chunks if len(c)]
+    out.append(sv.flush())
+    got = np.concatenate(out)
+    assert len(got) == T
+    np.testing.assert_array_equal(expected, got)
+
+
+def test_emission_cadence(rng):
+    S, T = 20, 100
+    A, pi, obs = random_hmm(rng, S, T)
+    sv = StreamingViterbi(A, pi, lag=30)
+    emitted = 0
+    for i in range(0, T, 10):
+        out = sv.push(obs.T[i : i + 10])
+        emitted += len(out)
+        # never emits frames within the lag window
+        assert emitted <= max(0, (i + 10) - 30)
+    emitted += len(sv.flush())
+    assert emitted == T
+
+
+def test_small_lag_agreement_on_melody_hmm(rng):
+    from viterbi_spl_tpu.hmm import params as P
+
+    n_bins = 50
+    q = [np.clip(25 + np.cumsum(rng.integers(-2, 3, 1500)), 0, n_bins - 1)]
+    stats = P.count_statistics(q, n_bins)
+    A = P.shape_transition_matrix(
+        stats.transition_counts, np.array([[0.97, 0.03], [0.04, 0.96]]),
+        n_bins, 5, 2,
+    )
+    pi = P.shape_init_probs(stats.p_steady)
+    T = 600
+    path = np.clip(25 + np.cumsum(rng.integers(-1, 2, T)), 0, n_bins - 1)
+    obs = np.full((n_bins + 1, T), 1e-3, np.float32)
+    obs[path, np.arange(T)] = 1.0
+    obs /= obs.sum(0, keepdims=True)
+    expected = viterbi_oracle(transition_matrix=A, prob_init=pi, probs_st=obs)
+
+    sv = StreamingViterbi(A, pi, lag=64)
+    out = [sv.push(obs.T[i : i + 37]) for i in range(0, T, 37)]
+    out.append(sv.flush())
+    got = np.concatenate(out)
+    assert len(got) == T
+    agreement = float(np.mean(got == expected))
+    assert agreement > 0.97, f"fixed-lag agreement only {agreement:.3f}"
+
+
+def test_single_frame_pushes(rng):
+    S, T = 15, 40
+    A, pi, obs = random_hmm(rng, S, T)
+    expected = viterbi_oracle(transition_matrix=A, prob_init=pi, probs_st=obs)
+    sv = StreamingViterbi(A, pi, lag=T)
+    out = [sv.push(obs.T[i : i + 1]) for i in range(T)]
+    out.append(sv.flush())
+    got = np.concatenate(out)
+    np.testing.assert_array_equal(expected, got)
