@@ -58,3 +58,15 @@ def test_imm_app():
 
     out = imm.main(["eval", "--synthetic", "--debug"])
     assert np.isfinite(out["viterbi_mean_oa"])
+
+
+def test_tonet_lr_schedule():
+    import numpy as np
+    from viterbi_spl_tpu.apps.tonet import tonet_lr_schedule
+
+    sched = tonet_lr_schedule(1e-4, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(5e-5)
+    assert float(sched(49)) == pytest.approx(5e-5)  # epoch 4: still warm-up
+    assert float(sched(50)) == pytest.approx(5e-5)  # epoch 5: 0.98^0
+    assert float(sched(60)) == pytest.approx(5e-5 * 0.98)
+    assert float(sched(150)) == pytest.approx(5e-5 * 0.98**10, rel=1e-5)

@@ -99,3 +99,38 @@ def test_seam_certificate_catches_every_mismatch(rng):
             ok = bool(np.all(np.asarray(seams)))
             match = np.array_equal(expected, np.asarray(states))
             assert match or not ok, f"false positive at seed={seed} halo={halo}"
+
+
+def test_pallas_sharded_decode_matches_scan_variant(rng):
+    """The Pallas-kernel sequence-parallel decode must agree with the scan
+    variant and the oracle (interpret mode on the CPU mesh)."""
+    from viterbi_spl_tpu.hmm.viterbi_pallas import LANE
+    from viterbi_spl_tpu.hmm.viterbi import NEG_PAD
+    from viterbi_spl_tpu.dist.sharded_viterbi import (
+        viterbi_sharded_time_blocks_pallas,
+    )
+
+    mesh = make_mesh(data=1, seq=8)
+    A, pi, obs = realistic_hmm(rng, n_bins=60, T=1024)
+    S = A.shape[0]
+    P = ((S + LANE - 1) // LANE) * LANE
+    expected = viterbi_oracle(transition_matrix=A, prob_init=pi, probs_st=obs)
+
+    log_B, log_pi = prepare_log_params(A, pi, pad_to=P)
+    log_obs = np.full((obs.shape[1], P), NEG_PAD, np.float32)
+    log_obs[:, :S] = np.asarray(log_obs_fn(jnp.asarray(obs.T)))
+
+    states, seams = viterbi_sharded_time_blocks_pallas(
+        jnp.asarray(log_B), jnp.asarray(log_pi), jnp.asarray(log_obs),
+        mesh, halo=64, S=S,
+    )
+    np.testing.assert_array_equal(expected, np.asarray(states))
+
+    # and the certificate must match the scan variant's flags exactly
+    log_B_u, log_pi_u = prepare_log_params(A, pi)
+    scan_states, scan_seams = viterbi_sharded_time_blocks(
+        jnp.asarray(log_B_u), jnp.asarray(log_pi_u),
+        log_obs_fn(jnp.asarray(obs.T)), mesh, halo=64,
+    )
+    np.testing.assert_array_equal(np.asarray(scan_states), np.asarray(states))
+    np.testing.assert_array_equal(np.asarray(scan_seams), np.asarray(seams))

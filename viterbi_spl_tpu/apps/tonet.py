@@ -10,6 +10,22 @@ from ..models import TONet, tonet_loss
 from .common import AppConfig, app_main
 
 
+def tonet_lr_schedule(base_lr: float, steps_per_epoch: int):
+    """The reference's scheduler (tonet/main_shaun.py configure_optimizers):
+    0.5x warm-up for 5 epochs, then 0.5 * 0.98^(epoch-5) decay."""
+    import optax
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        epoch = jnp.asarray(step) // steps_per_epoch
+        decay = 0.98 ** jnp.maximum(epoch - 5, 0).astype(jnp.float32)
+        scale = jnp.where(epoch < 5, 0.5, 0.5 * decay)
+        return base_lr * scale
+
+    return schedule
+
+
 def _input_adapter(spec):
     # snippet layout [B, T, 3, 360] -> model layout [B, 3, 360, T]
     return jnp.transpose(spec, (0, 2, 3, 1))

@@ -238,3 +238,88 @@ def _t1_at(log_B, t1m1, window_obs, row, log_pi, reset_row):
     t1 = jnp.where(row == reset_row, log_pi + window_obs[row], t1)
     t1 = jnp.where((row == 0) & (reset_row != 0), window_obs[row], t1)
     return t1
+
+
+def viterbi_sharded_time_blocks_pallas(
+    log_B_padded,
+    log_pi_padded,
+    log_obs_padded,
+    mesh: Mesh,
+    halo: int,
+    S: int,
+    axis: str = "seq",
+    interpret: bool | None = None,
+):
+    """Sequence-parallel decode running the PALLAS kernels per device.
+
+    Same halo/certificate scheme as `viterbi_sharded_time_blocks`, but each
+    block's forward DP and backtrace run the production Pallas kernels
+    (forward reset-row support gives block 0 its exact mid-window start).
+    Inputs are LANE-PADDED: log_B/log_pi padded to P (prepare_log_params
+    pad_to), log_obs [T, P] with padded lanes at NEG_PAD; `S` is the true
+    state count. T/halo must be multiples of 16 (kernel group size).
+
+    Returns (states [T] int32, seams_ok [n_blocks-1] bool).
+    """
+    from ..hmm.viterbi_pallas import (
+        GROUP,
+        viterbi_backtrace_pallas,
+        viterbi_forward_pallas,
+    )
+
+    n_blocks = mesh.shape[axis]
+    T, P = log_obs_padded.shape
+    L = T // n_blocks
+    H = halo
+    if H % GROUP or L % GROUP:
+        raise ValueError("halo and per-block length must be multiples of 16")
+    W = H + L + H
+
+    def block_fn(log_B, log_pi, obs_local):
+        idx = jax.lax.axis_index(axis)
+        fwd_perm = [(i, (i + 1) % n_blocks) for i in range(n_blocks)]
+        bwd_perm = [(i, (i - 1) % n_blocks) for i in range(n_blocks)]
+        left_halo = jax.lax.ppermute(obs_local[-H:], axis, fwd_perm)
+        right_halo = jax.lax.ppermute(obs_local[:H], axis, bwd_perm)
+        window = jnp.concatenate([left_halo, obs_local, right_halo], axis=0)
+
+        is_first = idx == 0
+        is_last = idx == n_blocks - 1
+        reset_row = jnp.where(is_first, H, -1)
+        T_eff = jnp.where(is_last, H + L, W)
+
+        t1_last, t1m1 = viterbi_forward_pallas(
+            log_B, log_pi, window, T_eff, reset_row,
+            block_frames=GROUP, interpret=interpret,
+        )
+        masked = jnp.where(jnp.arange(P) < S, t1_last, -jnp.inf)
+        start_state = jnp.argmax(masked).astype(jnp.int32)
+        states_win = viterbi_backtrace_pallas(
+            t1m1, log_B, start_state, T_eff,
+            block_frames=GROUP, interpret=interpret,
+        )
+        states_local = states_win[H : H + L]
+
+        # seam certificate (same two conditions as the scan variant)
+        my_right_halo_states = states_win[H + L : H + L + H]
+        prev_halo_states = jax.lax.ppermute(my_right_halo_states, axis, fwd_perm)
+        overlap_ok = jnp.all(prev_halo_states == states_local[:H])
+        my_bp_row = _bp_row(log_B[:S, :S], t1m1[H][:S])
+        warm_bp_row = jax.lax.ppermute(
+            _bp_row(log_B[:S, :S], t1m1[H + L][:S]), axis, fwd_perm
+        )
+        bp_ok = jnp.all(my_bp_row == warm_bp_row)
+        seam_ok = jnp.where(idx == 0, True, jnp.logical_and(overlap_ok, bp_ok))
+        return states_local.astype(jnp.int32), seam_ok[None]
+
+    from jax.sharding import PartitionSpec as PS
+
+    states, seams = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(PS(), PS(), PS(axis, None)),
+        out_specs=(PS(axis), PS(axis)),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )(log_B_padded, log_pi_padded, log_obs_padded)
+    return states, seams[1:]

@@ -81,6 +81,12 @@ def _forward_kernel(T_ref, obs_ref, logA_ref, logpi_ref, t1m1_ref, t1_last_ref, 
     L, P = obs_ref.shape
     base_t = chunk * L
     T = T_ref[0]
+    # reset row: the frame whose carry is re-initialized to log_pi + obs.
+    # 0 for ordinary decodes; the sequence-parallel halo decode uses H for
+    # the first block (exact start mid-window) and -1 for cold-started
+    # blocks (t == 0 then initializes to obs alone, a uniform max-plus
+    # prior — dist/sharded_viterbi semantics).
+    reset_row = T_ref[1]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, P), 0)
 
     def group(g, prev):  # prev: [1, P]
@@ -97,9 +103,11 @@ def _forward_kernel(T_ref, obs_ref, logA_ref, logpi_ref, t1m1_ref, t1_last_ref, 
             scores = jnp.transpose(prev) + logA_ref[:, :]  # [s', s]
             m = jnp.max(scores, axis=0, keepdims=True)  # [1, P]
             prev = jnp.where(
-                is_first,
+                t == reset_row,
                 logpi_ref[0, :][None, :] + obs_j,
-                jnp.where(active, m + obs_j, prev),
+                jnp.where(
+                    is_first, obs_j, jnp.where(active, m + obs_j, prev)
+                ),
             )
         t1m1_ref[pl.ds(j0, GROUP), :] = buf
         return prev
@@ -177,6 +185,7 @@ def viterbi_forward_pallas(
     log_pi,
     obs_padded,
     T,
+    reset_row=0,
     *,
     block_frames: int = 512,
     interpret: bool | None = None,
@@ -189,6 +198,9 @@ def viterbi_forward_pallas(
     obs_padded: [T_pad, P] f32 — log-observations (or raw probabilities when
         take_log=True), T_pad a multiple of block_frames.
     T: true frame count (traced scalar ok).
+    reset_row: frame whose carry is initialized to log_pi + obs (0 for
+        ordinary decodes; -1 = cold uniform start at frame 0, used by the
+        sequence-parallel halo decode).
 
     Returns (t1_last [P] f32, t1m1 [T_pad, P] f32) where t1m1[t] = T1[t-1]
     (t1m1[0] is zeros and unused).
@@ -236,7 +248,7 @@ def viterbi_forward_pallas(
             flops=2 * T_pad * P * P, bytes_accessed=T_pad * P * 8, transcendentals=0
         ),
     )(
-        jnp.asarray([T], jnp.int32),
+        jnp.asarray(jnp.stack([jnp.asarray(T), jnp.asarray(reset_row)]), jnp.int32),
         obs_padded.astype(jnp.float32),
         jnp.transpose(log_B.astype(jnp.float32)),  # kernel wants log A
         log_pi.astype(jnp.float32)[None, :],
