@@ -70,3 +70,29 @@ def test_tonet_lr_schedule():
     assert float(sched(50)) == pytest.approx(5e-5)  # epoch 5: 0.98^0
     assert float(sched(60)) == pytest.approx(5e-5 * 0.98)
     assert float(sched(150)) == pytest.approx(5e-5 * 0.98**10, rel=1e-5)
+
+
+def test_imm_original_method(rng):
+    """The third imm evaluation path: HF0 + analytic transition + energy
+    voicing scored through the mir_eval-semantics metrics."""
+    from viterbi_spl_tpu.apps.imm import evaluate_imm_original
+    from viterbi_spl_tpu.models.imm import IMM, IMMConfig
+    from viterbi_spl_tpu.metrics.mel_eval import hz_to_midi, midi_to_hz
+
+    cfg = IMMConfig(w=512, h=64, niters=10, R=6, P=8, K=4, bins_per_note=4)
+    imm = IMM(cfg)
+    sr = cfg.fs
+    t = np.arange(sr // 4) / sr
+    y = sum((0.6 / k) * np.sin(2 * np.pi * 220.0 * k * t) for k in range(1, 5))
+    y = (y + 0.02 * rng.normal(size=len(t))).astype(np.float32)
+    SX = np.abs(np.asarray(imm.stft.stft(y))) ** 2
+    fit = imm.fit(SX, seed=0)
+    T = np.asarray(fit["HF0"]).shape[1]
+    notes = np.full(T, float(hz_to_midi(np.array([220.0]))[0]), np.float32)
+    freqs = midi_to_hz(notes)
+    out = evaluate_imm_original(
+        imm,
+        [dict(SX=SX, fit=fit, notes=notes,
+              original=dict(times=np.arange(T) * cfg.h / sr, freqs=freqs))],
+    )
+    assert np.isfinite(out["mean_oa"]) and 0.0 <= out["mean_oa"] <= 1.0

@@ -121,5 +121,46 @@ def main(argv=None):
     return out
 
 
+def evaluate_imm_original(imm: IMM, fits_and_labels) -> dict:
+    """The reference's 'original' IMM method (imm/tf_imm.py:680-776 +
+    MetricsOriginal in imm/main_imm.py): decode the raw HF0 salience with
+    the analytic transition and uniform init, then voice by the
+    cumulative-energy threshold; score with the mir_eval-semantics metrics.
+
+    fits_and_labels: list of dicts with SX [N, F], fit result dict, notes,
+    original{times, freqs}.
+    """
+    import jax.numpy as jnp
+
+    from ..hmm.viterbi import viterbi_backtrace_jax, viterbi_forward_jax
+    from ..metrics.mel_eval import evaluate_melody, hz_to_midi
+
+    U = imm.config.U
+    log_B = np.log(imm.transition_matrix.T).astype(np.float32)
+    log_pi = np.full(U + 1, -np.log(U + 1), np.float32)
+
+    oas = []
+    for item in fits_and_labels:
+        result = item["fit"]
+        log_obs = imm.process_HF0(np.asarray(result["HF0"]))  # [U+1, N]
+        t1, T2 = viterbi_forward_jax(
+            jnp.asarray(log_B), jnp.asarray(log_pi), jnp.asarray(log_obs.T)
+        )
+        states = np.asarray(
+            viterbi_backtrace_jax(T2, jnp.argmax(t1).astype(jnp.int32))
+        ).astype(np.int64)
+        voicing = imm.voicing_detection(item["SX"], result, states)
+        f0s = imm.melody_f0s(states, voicing)
+        est_freqs = np.where(voicing, f0s, -np.maximum(f0s, imm.f0s[0]))
+        T = len(f0s)
+        est_times = np.arange(T) * imm.config.h / imm.config.fs
+        m = evaluate_melody(
+            item["original"]["times"], item["original"]["freqs"],
+            est_times, est_freqs,
+        )
+        oas.append(m["Overall Accuracy"])
+    return dict(oas=oas, mean_oa=float(np.mean(oas)))
+
+
 if __name__ == "__main__":
     main()

@@ -13,8 +13,6 @@ from .common import AppConfig, app_main
 def tonet_lr_schedule(base_lr: float, steps_per_epoch: int):
     """The reference's scheduler (tonet/main_shaun.py configure_optimizers):
     0.5x warm-up for 5 epochs, then 0.5 * 0.98^(epoch-5) decay."""
-    import optax
-
     def schedule(step):
         import jax.numpy as jnp
 

@@ -10,7 +10,6 @@ collision guards (:195-212).
 from __future__ import annotations
 
 import dataclasses
-import os
 from pathlib import Path
 
 

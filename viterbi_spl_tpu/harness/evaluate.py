@@ -33,7 +33,6 @@ from ..hmm.viterbi import (
 from ..metrics.mel_eval import (
     est_notes_with_voicing_to_hz,
     evaluate_melody,
-    midi_to_hz,
 )
 from ..metrics.melody import (
     MelodyMetrics,

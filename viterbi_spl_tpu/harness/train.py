@@ -21,7 +21,6 @@ import logging
 from pathlib import Path
 from typing import Any, Callable, Iterator
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -26,7 +26,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 NEG_INF = jnp.float32(-jnp.inf)
 

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .viterbi import NEG_PAD, TINY
-from .viterbi_pallas import GROUP, LANE, _VMEM_LIMIT, _round_up, _use_interpret
+from .viterbi_pallas import GROUP, _VMEM_LIMIT, _use_interpret
 
 LOG_TINY = float(np.log(TINY))
 

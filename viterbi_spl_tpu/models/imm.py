@@ -25,7 +25,6 @@ Melody outputs:
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

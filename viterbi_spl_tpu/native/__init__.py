@@ -17,7 +17,6 @@ to the C layout, and returns int64 states.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 
