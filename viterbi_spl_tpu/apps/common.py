@@ -236,6 +236,7 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     ap.add_argument("--steps-per-epoch", type=int, default=None)
     ap.add_argument("--patience", type=int, default=20)
     ap.add_argument("--viterbi-method", default="shaun")
+    ap.add_argument("--log-dir", default=None)
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -284,7 +285,24 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
         steps = args.steps_per_epoch or max(
             len(datasets["training"]) * 4, 8
         )
-        state = trainer.fit(state, batches(), steps, resume=args.resume)
+        reporter = None
+        if args.log_dir:
+            from .. harness.reporting import Reporter
+
+            reporter = Reporter(args.log_dir)
+
+        def on_epoch_end(st, info):
+            if reporter is not None:
+                reporter.scalar("train_loss", info["train_loss"], st.epoch)
+                reporter.scalar("val_oa", info["val"]["oa"], st.epoch)
+                reporter.scalar(
+                    "voicing_threshold", st.voicing_threshold, st.epoch
+                )
+
+        state = trainer.fit(
+            state, batches(), steps, resume=args.resume,
+            on_epoch_end=on_epoch_end,
+        )
         print(f"best val OA {state.best_oa:.4f} @ epoch {state.best_epoch}, "
               f"threshold {state.voicing_threshold:.2f}")
         return state
@@ -293,12 +311,21 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     setup = build_decoder_setup(
         cfg, datasets["validation"], state.voicing_threshold, args.viterbi_method
     )
+    reporter = None
+    if args.log_dir:
+        from ..harness.reporting import Reporter
+
+        reporter = Reporter(args.log_dir)
     for split in ("validation", "test"):
         out = run_inference(cfg, model, state, datasets[split], setup)
         print(
             f"{split}: raw OA {out['raw_mean_oa']:.4f}, "
             f"viterbi OA {out['viterbi_mean_oa']:.4f}"
         )
+        if reporter is not None:
+            names = list(datasets[split].track_ids)
+            reporter.table(f"{split}/raw", out["raw"], names)
+            reporter.table(f"{split}/viterbi", out["viterbi"], names)
     return state
 
 
