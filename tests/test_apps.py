@@ -96,3 +96,21 @@ def test_imm_original_method(rng):
               original=dict(times=np.arange(T) * cfg.h / sr, freqs=freqs))],
     )
     assert np.isfinite(out["mean_oa"]) and 0.0 <= out["mean_oa"] <= 1.0
+
+
+def test_app_dump_tracks(tmp_path):
+    from viterbi_spl_tpu.apps import msnet
+
+    ckpt = str(tmp_path / "ckpt")
+    msnet.main(["train", "--synthetic", "--debug", "--ckpt", ckpt,
+                "--epochs", "1", "--steps-per-epoch", "2", "--patience", "2"])
+    dump = tmp_path / "analysis"
+    msnet.main(["infer", "--synthetic", "--debug", "--ckpt", ckpt,
+                "--dump-tracks", str(dump), "--log-dir", str(tmp_path / "log")])
+    pngs = list(dump.glob("*.png"))
+    npzs = list(dump.glob("*.npz"))
+    assert pngs and npzs
+    d = np.load(npzs[0])
+    assert "viterbi_notes" in d and len(d["ref_notes"]) == len(d["raw_notes"])
+    events = (tmp_path / "log" / "events.jsonl").read_text()
+    assert "viterbi" in events

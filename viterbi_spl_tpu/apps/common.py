@@ -237,6 +237,9 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     ap.add_argument("--patience", type=int, default=20)
     ap.add_argument("--viterbi-method", default="shaun")
     ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--dump-tracks", default=None,
+                    help="directory for per-track piano-roll figures + npz "
+                         "dumps (the dcnet/lontano.py analysis outputs)")
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -326,7 +329,41 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
             names = list(datasets[split].track_ids)
             reporter.table(f"{split}/raw", out["raw"], names)
             reporter.table(f"{split}/viterbi", out["viterbi"], names)
+        if args.dump_tracks and split == "test":
+            dump_analysis_tracks(cfg, model, state, datasets[split], setup,
+                                 args.dump_tracks)
     return state
+
+
+def dump_analysis_tracks(cfg, model, state, dataset, setup, out_dir):
+    """Per-track reference/viterbi/raw piano-roll figures + npz dumps — the
+    analysis layer (dcnet/lontano.py effect_of_viterbi_fn, nn_problem.py)."""
+    from pathlib import Path
+
+    from ..harness.evaluate import decode_and_score_track
+    from ..harness.reporting import dump_track_npz, piano_roll_figure
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    logits_list = model_logits_for_dataset(cfg, model, state, dataset)
+    for track, logits in zip(dataset.tracks, logits_list):
+        r = decode_and_score_track(setup, logits, track.notes)
+        piano_roll_figure(
+            out / f"{track.track_id}.png",
+            track.notes,
+            r["est_notes_viterbi"], r["viterbi_voiced"],
+            r["est_notes_raw"], r["raw_voiced"],
+            title=track.track_id,
+        )
+        dump_track_npz(
+            out / f"{cfg.family.name}_{track.track_id}.npz",
+            ref_notes=track.notes,
+            viterbi_notes=r["est_notes_viterbi"],
+            viterbi_voicing=r["viterbi_voiced"],
+            raw_notes=r["est_notes_raw"],
+            raw_voicing=r["raw_voiced"],
+            viterbi_bins=r["viterbi_bins"],
+        )
 
 
 def build_external_eval_datasets(
