@@ -47,8 +47,8 @@ def main():
     n_bins = 360  # tonet configuration
     S, P = n_bins + 1, 384
     T = 1 << 15  # frames per track (~5.5 min of audio at 10 ms)
-    N = 64  # tracks decoded together
-    BLOCK = 128
+    N = 128  # tracks decoded together
+    BLOCK = 64
     T_CHK = 2000  # true length of track 0: oracle-checked on the host
 
     rng = np.random.default_rng(0)
