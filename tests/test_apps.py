@@ -114,3 +114,25 @@ def test_app_dump_tracks(tmp_path):
     assert "viterbi_notes" in d and len(d["ref_notes"]) == len(d["raw_notes"])
     events = (tmp_path / "log" / "events.jsonl").read_text()
     assert "viterbi" in events
+
+
+def test_app_calibration_modes(tmp_path):
+    """The sweep/ablation experiment modes (reference's standalone scripts
+    ftanet/threshold.py, tonet/hyper_parameter_selection.py,
+    tonet/hard_thresholding_vs_automatic_thresholding.py) run end-to-end
+    from the app CLI."""
+    from viterbi_spl_tpu.apps import msnet
+
+    ckpt = str(tmp_path / "ckpt")
+    msnet.main(["train", "--synthetic", "--debug", "--ckpt", ckpt,
+                "--epochs", "1", "--steps-per-epoch", "2", "--patience", "2"])
+    sweep = msnet.main(["sweep-threshold", "--synthetic", "--debug",
+                        "--ckpt", ckpt])
+    assert 0 < sweep["best_threshold"] < 1
+    assert len(sweep["thresholds"]) == len(sweep["oa"]) == 99
+    hva = msnet.main(["hard-vs-auto", "--synthetic", "--debug", "--ckpt", ckpt,
+                      "--hard-threshold", "0.5"])
+    assert np.isfinite(hva["auto"]["viterbi_mean_oa"])
+    assert np.isfinite(hva["hard"]["viterbi_mean_oa"])
+    obs = msnet.main(["sweep-obs", "--synthetic", "--debug", "--ckpt", ckpt])
+    assert obs["oa"].shape == (4, 3) and np.all(np.isfinite(obs["oa"]))

@@ -227,7 +227,14 @@ def run_inference(cfg: AppConfig, model, state, dataset, setup) -> dict:
 
 def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     ap = argparse.ArgumentParser(description=f"{cfg.family.name} app")
-    ap.add_argument("mode", choices=["train", "infer"])
+    ap.add_argument(
+        "mode",
+        choices=["train", "infer", "sweep-threshold", "hard-vs-auto", "sweep-obs"],
+        help="train/infer, or the calibration experiments: sweep-threshold "
+        "(ftanet/threshold.py, */determine_threshold*.py), hard-vs-auto "
+        "(tonet/hard_thresholding_vs_automatic_thresholding.py), sweep-obs "
+        "(tonet/hyper_parameter_selection.py)",
+    )
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--ckpt", default=f"ckpts/{cfg.family.name}")
@@ -236,6 +243,8 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     ap.add_argument("--steps-per-epoch", type=int, default=None)
     ap.add_argument("--patience", type=int, default=20)
     ap.add_argument("--viterbi-method", default="shaun")
+    ap.add_argument("--hard-threshold", type=float, default=0.5,
+                    help="fixed threshold for hard-vs-auto mode")
     ap.add_argument("--log-dir", default=None)
     ap.add_argument("--dump-tracks", default=None,
                     help="directory for per-track piano-roll figures + npz "
@@ -314,6 +323,14 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     setup = build_decoder_setup(
         cfg, datasets["validation"], state.voicing_threshold, args.viterbi_method
     )
+
+    if args.mode in ("sweep-threshold", "hard-vs-auto", "sweep-obs"):
+        from .reports import run_calibration_mode
+
+        return run_calibration_mode(
+            args.mode, cfg, model, state, datasets, setup,
+            hard_threshold=args.hard_threshold,
+        )
     reporter = None
     if args.log_dir:
         from ..harness.reporting import Reporter
