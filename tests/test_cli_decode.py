@@ -1,0 +1,83 @@
+"""Batch-decode CLI: .dat artifacts + logit files -> MIREX txt / npz."""
+
+import numpy as np
+
+
+def _prepare(tmp_path, rng):
+    from viterbi_spl_tpu.cli.hmm_artifacts import build_hmm_artifacts
+    from viterbi_spl_tpu.families import family_spec
+
+    spec = family_spec("tonet")
+    track = np.clip(
+        spec.n_bins // 2 + np.cumsum(rng.integers(-2, 3, 3000)),
+        0, spec.n_bins - 1,
+    )
+    # mark some stretches unvoiced (bin n_bins) so switch stats are full
+    voiced = np.repeat(rng.random(151) > 0.3, 20)[:3000]
+    track = np.where(voiced, track, spec.n_bins)
+    art = build_hmm_artifacts([track], spec, tmp_path / "hmm")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    paths = []
+    for i in range(3):
+        T = 80 + 30 * i
+        logits = rng.normal(-2, 1, (T, spec.n_bins)).astype(np.float32)
+        path = np.clip(
+            spec.n_bins // 2 + np.cumsum(rng.integers(-1, 2, T)),
+            0, spec.n_bins - 1,
+        )
+        logits[np.arange(T), path] += 6.0
+        p = in_dir / f"track{i}.npy"
+        np.save(p, logits)
+        paths.append(p)
+    return art, paths
+
+
+def test_decode_cli_txt_and_npz(tmp_path, rng):
+    from viterbi_spl_tpu.cli import decode as D
+
+    art, paths = _prepare(tmp_path, rng)
+    out = D.main(
+        [str(p) for p in paths]
+        + ["--family", "tonet", "--artifacts", str(tmp_path / "hmm"),
+           "--out", str(tmp_path / "txt"), "--format", "txt", "--batch", "2"]
+    )
+    assert len(out) == 3
+    for i, p in enumerate(paths):
+        txt = (tmp_path / "txt" / f"track{i}.txt").read_text().splitlines()
+        assert len(txt) == len(out[i]["times"])
+        t0, f0 = map(float, txt[0].split("\t"))
+        assert t0 == 0.0 and f0 >= 0.0
+
+    # npz output carries the decode vectors
+    D.main(
+        [str(paths[0]), "--family", "tonet", "--artifacts",
+         str(tmp_path / "hmm"), "--out", str(tmp_path / "npz"),
+         "--format", "npz"]
+    )
+    d = np.load(tmp_path / "npz" / "track0.npz")
+    assert set(d.files) >= {"voiced", "bins", "est_notes", "freqs", "times"}
+    # strong-signal frames should mostly decode voiced
+    assert d["voiced"].mean() > 0.8
+
+
+def test_decode_cli_matches_decoder_setup(tmp_path, rng):
+    """The CLI's per-track output must equal a direct DecoderSetup decode."""
+    from viterbi_spl_tpu.cli import decode as D
+
+    art, paths = _prepare(tmp_path, rng)
+    ns = D.main(
+        [str(paths[1]), "--family", "tonet", "--artifacts",
+         str(tmp_path / "hmm"), "--out", str(tmp_path / "o"),
+         "--format", "npz"]
+    )
+    setup = D.build_setup(
+        type("A", (), dict(
+            family="tonet", artifacts=str(tmp_path / "hmm"),
+            threshold=0.5, method="shaun",
+        ))()
+    )
+    voiced, bins = setup.decode(np.load(paths[1]))
+    np.testing.assert_array_equal(ns[0]["voiced"], voiced)
+    np.testing.assert_array_equal(ns[0]["bins"], bins)

@@ -13,12 +13,25 @@ is monotone and the constant adds commute with max) into:
 
     max( in-band candidates  (2 d_max + 1 lane-rolled adds),
          T1[unvoiced] + log c_uv,
-         out-of-band floor:  max(prefix_max[s-d-1], suffix_max[s+d+1]) + LOG_TINY )
+         out-of-band floor:  GLOBAL_voiced_max + LOG_TINY )
 
-with prefix/suffix running maxima computed in O(log P) roll-doubling steps.
-Work per frame drops from O(P^2) to O(P (2 d_max + log P)) — about 6x for
-d_max = 12..40 — while the forward values stay bit-identical to the dense
-kernel, so the (unchanged, dense-row) backtrace yields bit-identical paths.
+The global-max floor is exact even though it over-covers in-band sources:
+when the global argmax a lies inside the band of target s,
+f32(T1[a] + LOG_TINY) <= f32(T1[a] + band[a-s]) <= C_inband(s) by fp-add
+monotonicity (band log-probs >= LOG_TINY), so the extra candidate never
+changes the max; when a is out of band, the global max IS the out-of-band
+max. Work per frame drops from O(P^2) to O(P (2 d_max + 1)) — while the
+forward values stay bit-identical to the dense kernel, so the backtrace
+yields bit-identical paths.
+
+Negative result (measured on v5e, kept for the record): a "banded
+backtrace" that reconstructs FULL backpointer rows per frame from the
+banded structure (exact, frame-parallel) is ~3x SLOWER than the dense
+backtrace's per-track dynamic logB row loads at production N — computing
+all P lanes of every bp row costs about as much as a forward step, while
+the dense chase only ever needs one lane per track. The dense backtrace
+(viterbi_pallas.viterbi_backtrace_pallas_batch) therefore remains the
+production pair for this forward.
 
 `extract_banded_structure` validates the structure on the host and returns
 None when it does not hold (imm's analytic matrix, random test matrices),
@@ -99,37 +112,18 @@ def extract_banded_structure(A: np.ndarray, pad_to: int) -> BandedStructure | No
     )
 
 
-def _cummax_lanes(x, P: int, reverse: bool = False):
-    """Running max along lanes of [N, P] via roll-doubling (log2 P steps)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    k = 1
-    while k < P:
-        if reverse:
-            shifted = pltpu.roll(x, (P - k) % P, 1)
-            mask = lane < P - k
-        else:
-            shifted = pltpu.roll(x, k, 1)
-            mask = lane >= k
-        x = jnp.where(mask, jnp.maximum(x, shifted), x)
-        k *= 2
-    return x
-
-
 def _make_banded_forward_kernel(bs: BandedStructure, N: int):
     d_max, n_bins, S, P = bs.d_max, bs.n_bins, bs.S, bs.P
-    W = 2 * d_max + 1
     # plain Python floats: closures may not capture traced constants, and
     # these values are exactly f32-representable (computed from f32 inputs)
     log_c_uv = bs.log_c_uv
     log_c_vu = bs.log_c_vu
     log_c_uu = bs.log_c_uu
-    log_tiny = LOG_TINY
 
     def kernel(len_ref, obs_ref, band_ref, logpi_ref, t1m1_ref, t1_last_ref, carry):
         chunk = pl.program_id(0)
         _, L, _ = obs_ref.shape
         base_t = chunk * L
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (N, GROUP, P), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
         lengths = jnp.stack(
             [jnp.full((1,), len_ref[n], jnp.int32) for n in range(N)]
@@ -139,26 +133,30 @@ def _make_banded_forward_kernel(bs: BandedStructure, N: int):
             """One banded max-plus step: [N, P] -> [N, P] (pre-obs)."""
             voiced_prev = jnp.where(lane < n_bins, prev, NEG_PAD)
             # in-band candidates
-            cand = jnp.full((N, P), NEG_PAD, jnp.float32)
+            cands = []
             for d in range(-d_max, d_max + 1):
                 shifted = pltpu.roll(prev, (-d) % P, 1)  # shifted[s] = prev[s+d]
-                cand = jnp.maximum(cand, shifted + band_ref[d + d_max, :][None, :])
+                cands.append(shifted + band_ref[d + d_max, :][None, :])
             # unvoiced source -> voiced targets
             uv_val = jnp.max(
                 jnp.where(lane == n_bins, prev, NEG_PAD), axis=1, keepdims=True
             )
-            cand = jnp.maximum(cand, uv_val + log_c_uv)
-            # out-of-band floor: max over voiced sources outside the band
-            pm = _cummax_lanes(voiced_prev, P)
-            sm = _cummax_lanes(voiced_prev, P, reverse=True)
-            pm_s = pltpu.roll(pm, d_max + 1, 1)
-            pm_s = jnp.where(lane >= d_max + 1, pm_s, NEG_PAD)
-            sm_s = pltpu.roll(sm, (P - (d_max + 1)) % P, 1)
-            sm_s = jnp.where(lane < P - (d_max + 1), sm_s, NEG_PAD)
-            oob = jnp.maximum(pm_s, sm_s)
-            cand = jnp.maximum(cand, oob + log_tiny)
-            # unvoiced target
+            cands.append(jnp.broadcast_to(uv_val + log_c_uv, (N, P)))
+            # out-of-band floor via the GLOBAL voiced max (exact; see module
+            # docstring) — also reused for the unvoiced target below
             max_voiced = jnp.max(voiced_prev, axis=1, keepdims=True)
+            cands.append(jnp.broadcast_to(max_voiced + LOG_TINY, (N, P)))
+            # balanced tree max keeps the sequential dependency chain short
+            while len(cands) > 1:
+                nxt = [
+                    jnp.maximum(cands[i], cands[i + 1])
+                    for i in range(0, len(cands) - 1, 2)
+                ]
+                if len(cands) % 2:
+                    nxt.append(cands[-1])
+                cands = nxt
+            cand = cands[0]
+            # unvoiced target
             m_uv = jnp.maximum(max_voiced + log_c_vu, uv_val + log_c_uu)
             m = jnp.where(lane == n_bins, m_uv, cand)
             return jnp.where(lane < S, m, NEG_PAD)
@@ -166,22 +164,21 @@ def _make_banded_forward_kernel(bs: BandedStructure, N: int):
         def group(g, prev):
             j0 = pl.multiple_of(g * GROUP, GROUP)
             obs_blk = obs_ref[:, pl.ds(j0, GROUP), :]
-            buf = jnp.zeros((N, GROUP, P), jnp.float32)
+            rows = []
             for k in range(GROUP):
                 t = base_t + j0 + k
                 obs_j = obs_blk[:, k, :]
                 is_first = t == 0
                 active = t < lengths
-                buf = jnp.where(
-                    row_iota == k, jnp.where(is_first, 0.0, prev)[:, None, :], buf
-                )
+                # row k stores T1[t-1] (zeros for t == 0, where it is unused)
+                rows.append(jnp.where(is_first, 0.0, prev))
                 m = step_max(prev)
                 prev = jnp.where(
                     is_first,
                     logpi_ref[0, :][None, :] + obs_j,
                     jnp.where(active, m + obs_j, prev),
                 )
-            t1m1_ref[:, pl.ds(j0, GROUP), :] = buf
+            t1m1_ref[:, pl.ds(j0, GROUP), :] = jnp.stack(rows, axis=1)
             return prev
 
         prev = jax.lax.fori_loop(0, L // GROUP, group, carry[:, :], unroll=False)
