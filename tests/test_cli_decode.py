@@ -81,3 +81,23 @@ def test_decode_cli_matches_decoder_setup(tmp_path, rng):
     voiced, bins = setup.decode(np.load(paths[1]))
     np.testing.assert_array_equal(ns[0]["voiced"], voiced)
     np.testing.assert_array_equal(ns[0]["bins"], bins)
+
+
+def test_decode_cli_skip_existing(tmp_path, rng, capsys):
+    """Interrupted batch jobs restart idempotently: --skip-existing decodes
+    only the tracks whose outputs are missing."""
+    from viterbi_spl_tpu.cli import decode as D
+
+    art, paths = _prepare(tmp_path, rng)
+    base = ["--family", "tonet", "--artifacts", str(tmp_path / "hmm"),
+            "--out", str(tmp_path / "txt"), "--format", "txt"]
+    # simulate a partial run: only track0 decoded
+    D.main([str(paths[0])] + base)
+    t0_mtime = (tmp_path / "txt" / "track0.txt").stat().st_mtime_ns
+    out = D.main([str(p) for p in paths] + base + ["--skip-existing"])
+    assert len(out) == 2  # only the two missing tracks decoded
+    assert "skipping 1" in capsys.readouterr().out
+    # existing output untouched, all three present now
+    assert (tmp_path / "txt" / "track0.txt").stat().st_mtime_ns == t0_mtime
+    for i in range(3):
+        assert (tmp_path / "txt" / f"track{i}.txt").exists()

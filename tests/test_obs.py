@@ -76,6 +76,16 @@ def test_find_peaks_matches_oracle(rng, spw, n_bins):
     np.testing.assert_array_equal(expected, got)
 
 
+def test_find_peaks_quantized_ties(rng):
+    """Coarsely quantized logits produce many windowed ties; the shifted-max
+    formulation must still match the windowed-argmax oracle exactly."""
+    logits = rng.integers(0, 3, (60, 97)).astype(np.float32)
+    for spw in (1, 3, 5):
+        np.testing.assert_array_equal(
+            oracle_find_peaks(logits, spw), np.asarray(find_peaks(logits, spw))
+        )
+
+
 def test_find_peaks_plateau_first_max():
     """On plateaus the FIRST max within the window wins (np.argmax semantics)."""
     logits = np.zeros((1, 20), np.float32)

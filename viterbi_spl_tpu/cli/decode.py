@@ -133,12 +133,22 @@ def main(argv=None):
     ap.add_argument("--format", default="txt", choices=["txt", "npz"])
     ap.add_argument("--transposed", action="store_true",
                     help="inputs are [n_bins, T] instead of [T, n_bins]")
+    ap.add_argument("--skip-existing", action="store_true",
+                    help="skip inputs whose output file already exists — "
+                         "makes interrupted batch jobs restartable "
+                         "(idempotent resume)")
     args = ap.parse_args(argv)
 
     paths = [Path(p) for p in args.inputs]
     missing = [p for p in paths if not p.exists()]
     if missing:
         sys.exit(f"missing input files: {missing}")
+    if args.skip_existing:
+        ext = ".txt" if args.format == "txt" else ".npz"
+        done = [p for p in paths if (Path(args.out) / (p.stem + ext)).exists()]
+        paths = [p for p in paths if p not in done]
+        if done:
+            print(f"skipping {len(done)} already-decoded tracks")
     setup = build_setup(args)
     results = decode_files(setup, paths, args)
     voiced_frames = sum(int(r["voiced"].sum()) for r in results)

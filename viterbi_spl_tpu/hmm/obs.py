@@ -40,10 +40,17 @@ def find_peaks(logits: jnp.ndarray, spw: int) -> jnp.ndarray:
     """
     n_bins = logits.shape[-1]
     padded = jnp.pad(logits, [(0, 0), (spw, spw)], mode="reflect")
-    w = 2 * spw + 1
-    # windows[t, b, k] = padded[t, b + k]; build via static shifted slices.
-    windows = jnp.stack([padded[:, k : k + n_bins] for k in range(w)], axis=-1)
-    return jnp.argmax(windows, axis=-1) == spw
+    # Windowed first-argmax == spw without materializing the [T, n_bins, w]
+    # window tensor (it OOMs at serving batch sizes): the centre is the
+    # window's FIRST maximum iff it is strictly greater than every entry to
+    # its left and >= every entry to its right.
+    left = padded[:, 0:n_bins]
+    for j in range(1, spw):
+        left = jnp.maximum(left, padded[:, j : j + n_bins])
+    right = padded[:, spw + 1 : spw + 1 + n_bins]
+    for j in range(spw + 2, 2 * spw + 1):
+        right = jnp.maximum(right, padded[:, j : j + n_bins])
+    return (logits > left) & (logits >= right)
 
 
 @functools.partial(jax.jit, static_argnames=("spw",))
