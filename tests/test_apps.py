@@ -136,3 +136,13 @@ def test_app_calibration_modes(tmp_path):
     assert np.isfinite(hva["hard"]["viterbi_mean_oa"])
     obs = msnet.main(["sweep-obs", "--synthetic", "--debug", "--ckpt", ckpt])
     assert obs["oa"].shape == (4, 3) and np.all(np.isfinite(obs["oa"]))
+
+
+def test_imm_app_original_flag():
+    """--original runs the third imm method from the CLI (eval prints all
+    three OAs; imm/main_imm.py MetricsOriginal path)."""
+    from viterbi_spl_tpu.apps import imm
+
+    out = imm.main(["eval", "--synthetic", "--debug", "--original"])
+    assert "original" in out
+    assert np.isfinite(out["original"]["mean_oa"])

@@ -1,0 +1,142 @@
+"""Fused Pallas observation kernel vs the XLA implementation."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from viterbi_spl_tpu.hmm.obs import shaun_observation_probs
+from viterbi_spl_tpu.hmm.obs_pallas import (
+    pad_logits_reflect,
+    shaun_log_obs_pallas,
+)
+from viterbi_spl_tpu.hmm.viterbi import NEG_PAD, TINY
+
+
+def reference_log_obs(logits, th, spw, n_bins, P):
+    obs = np.asarray(shaun_observation_probs(jnp.asarray(logits), th, spw))
+    log_obs = np.log(obs + TINY)
+    out = np.full((logits.shape[0], P), NEG_PAD, np.float32)
+    out[:, : n_bins + 1] = log_obs
+    return out
+
+
+def test_fused_obs_matches_xla_path(rng):
+    n_bins, spw, P = 360, 5, 384
+    N, T = 8, 64
+    th = 0.3
+    logits = rng.normal(-2, 1, (N, T, n_bins)).astype(np.float32)
+    logits[0, :, :] = rng.integers(0, 3, (T, n_bins))  # tie-heavy track
+
+    padded = pad_logits_reflect(jnp.asarray(logits), spw, P)
+    got = np.asarray(
+        shaun_log_obs_pallas(padded, n_bins, spw, th, block_frames=16)
+    )
+    for i in range(N):
+        want = reference_log_obs(logits[i], th, spw, n_bins, P)
+        # documented contract: equal up to the peak-softmax denominator's
+        # reduction order (a lane sum) -> tight relative tolerance on the
+        # voiced lanes ...
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=0)
+        # ... the unvoiced lane only sees ulp-level transcendental
+        # differences (no sum participates) ...
+        np.testing.assert_allclose(
+            got[i][:, n_bins], want[:, n_bins], rtol=1e-6
+        )
+        # ... and exact zeros (non-peaks, padding) are BIT-exact
+        zero = want <= np.float32(np.log(TINY)) + 1e-3
+        np.testing.assert_array_equal(got[i][zero], want[zero])
+
+
+def test_fused_obs_feeds_forward_kernel(rng):
+    """Fused obs output decodes identically to the two-step path when fed
+    to the same decoder (same obs values -> same path)."""
+    from viterbi_spl_tpu.hmm import params as hmm_params
+    from viterbi_spl_tpu.hmm.viterbi import prepare_log_params
+    from viterbi_spl_tpu.hmm.viterbi_banded import (
+        extract_banded_structure,
+        viterbi_forward_pallas_banded_batch,
+    )
+    from viterbi_spl_tpu.hmm.viterbi_pallas import (
+        viterbi_backtrace_pallas_batch,
+    )
+
+    n_bins, spw, P = 60, 3, 128
+    N, T = 8, 32
+    q = np.clip(30 + np.cumsum(rng.integers(-2, 3, 2000)), 0, n_bins - 1)
+    voiced = np.repeat(rng.random(101) > 0.3, 20)[:2000]
+    q = np.where(voiced, q, n_bins)
+    stats = hmm_params.count_statistics([q], n_bins)
+    A = hmm_params.shape_transition_matrix(
+        stats.transition_counts, stats.switch, n_bins, 6, floor=2
+    )
+    pi = hmm_params.shape_init_probs(stats.p_steady)
+    log_B, log_pi = prepare_log_params(A, pi, pad_to=P)
+    bs = extract_banded_structure(A, P)
+
+    logits = rng.normal(-2, 1, (N, T, n_bins)).astype(np.float32)
+    path = np.clip(
+        n_bins // 2 + np.cumsum(rng.integers(-2, 3, (N, T)), axis=1),
+        0, n_bins - 1,
+    )
+    for i in range(N):
+        logits[i, np.arange(T), path[i]] += 6.0
+
+    padded = pad_logits_reflect(jnp.asarray(logits), spw, P)
+    log_obs = shaun_log_obs_pallas(padded, n_bins, spw, 0.0, block_frames=16)
+    lens = jnp.full((N,), T, jnp.int32)
+    t1, t1m1 = viterbi_forward_pallas_banded_batch(
+        bs, jnp.asarray(log_pi), log_obs, lens, block_frames=16
+    )
+    last = np.argmax(np.asarray(t1)[:, : n_bins + 1], axis=1).astype(np.int32)
+    states = viterbi_backtrace_pallas_batch(
+        t1m1, jnp.asarray(log_B), last, lens, block_frames=16
+    )
+    # two-step path
+    for i in range(N):
+        obs = np.asarray(
+            shaun_observation_probs(jnp.asarray(logits[i]), 0.0, spw)
+        )
+        lo = np.full((T, P), NEG_PAD, np.float32)
+        lo[:, : n_bins + 1] = np.log(obs + TINY)
+        np.testing.assert_allclose(
+            np.asarray(log_obs)[i], lo, rtol=1e-5, atol=0
+        )
+        # decoded mostly on the planted path
+        assert (np.asarray(states)[i, :T] == path[i]).mean() > 0.9
+
+
+def test_decoder_setup_fused_obs(rng, tmp_path):
+    """DecoderSetup(fused_obs=True) decodes the same paths as the default
+    path on smooth (tie-free) data."""
+    import dataclasses
+
+    from viterbi_spl_tpu.hmm import params as hmm_params
+    from viterbi_spl_tpu.harness.evaluate import DecoderSetup
+
+    n_bins, spw = 60, 3
+    q = np.clip(30 + np.cumsum(rng.integers(-2, 3, 2000)), 0, n_bins - 1)
+    voiced = np.repeat(rng.random(101) > 0.3, 20)[:2000]
+    q = np.where(voiced, q, n_bins)
+    stats = hmm_params.count_statistics([q], n_bins)
+    A = hmm_params.shape_transition_matrix(
+        stats.transition_counts, stats.switch, n_bins, 6, floor=2
+    )
+    pi = hmm_params.shape_init_probs(stats.p_steady)
+    setup = DecoderSetup(
+        transition_matrix=A, init_probs=pi, n_bins=n_bins, note_min=36.0,
+        bins_per_semitone=2.0, spw=spw, voicing_threshold=0.5,
+        hop_seconds=0.01, method="shaun",
+    )
+    fused = dataclasses.replace(setup, fused_obs=True)
+
+    logits_list = []
+    for T in (50, 77):
+        lg = rng.normal(-2, 1, (T, n_bins)).astype(np.float32)
+        path = np.clip(30 + np.cumsum(rng.integers(-1, 2, T)), 0, n_bins - 1)
+        lg[np.arange(T), path] += 6.0
+        logits_list.append(lg)
+
+    base = setup.decode_batch(logits_list)
+    fast = fused.decode_batch(logits_list)
+    for (v0, b0), (v1, b1) in zip(base, fast):
+        np.testing.assert_array_equal(v0, v1)
+        np.testing.assert_array_equal(b0, b1)

@@ -22,8 +22,12 @@ from ..models.adapters import imm_pitch_logits
 from ..models.imm import IMM, IMMConfig
 
 
-def synthetic_tracks(imm: IMM, n_tracks: int, seconds: float, seed: int):
-    """Synthetic harmonic mixtures -> per-track log-energy logits + labels."""
+def synthetic_tracks(
+    imm: IMM, n_tracks: int, seconds: float, seed: int, keep_fits: bool = False
+):
+    """Synthetic harmonic mixtures -> per-track log-energy logits + labels.
+    With keep_fits, each track dict also carries SX + the NMF fit (needed by
+    the 'original' evaluation method)."""
     from ..metrics.mel_eval import hz_to_midi
 
     rng = np.random.default_rng(seed)
@@ -35,22 +39,33 @@ def synthetic_tracks(imm: IMM, n_tracks: int, seconds: float, seed: int):
         f0 = 220.0 * 2 ** rng.uniform(-0.5, 0.5)
         y = sum((0.6 / k) * np.sin(2 * np.pi * f0 * k * t) for k in range(1, 6))
         y = (y + 0.02 * rng.normal(size=n)).astype(np.float32)
-        logits_un = imm.logits(y, seed=seed)
+        if keep_fits:
+            SX = np.abs(np.asarray(imm.stft.stft(y))) ** 2
+            fit = imm.fit(SX, seed=seed)
+            energies = imm.energies_for_f0s(fit, SX)
+            hw = (imm.config.w // 2) ** 2
+            energies = np.maximum(energies / float(hw), 1e-11)
+            logits_un = (np.log10(energies) + 6.0).astype(np.float32)
+        else:
+            SX = fit = None
+            logits_un = imm.logits(y, seed=seed)
         logits = imm_pitch_logits(logits_un)
         T = logits.shape[0]
         notes = np.full(T, hz_to_midi(np.array([f0]))[0], np.float32)
         from ..metrics.mel_eval import midi_to_hz
 
         freqs = midi_to_hz(notes)
-        tracks.append(
-            dict(
-                logits=logits,
-                notes=notes,
-                original=dict(
-                    times=np.arange(T) * imm.config.h / sr, freqs=freqs
-                ),
-            )
+        rec = dict(
+            logits=logits,
+            notes=notes,
+            original=dict(
+                times=np.arange(T) * imm.config.h / sr, freqs=freqs
+            ),
         )
+        if keep_fits:
+            rec["SX"] = SX
+            rec["fit"] = fit
+        tracks.append(rec)
     return tracks
 
 
@@ -80,6 +95,10 @@ def main(argv=None):
     ap.add_argument("mode", choices=["eval"])
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--original", action="store_true",
+                    help="also run the reference's 'original' method "
+                         "(HF0 + analytic transition + cumulative-energy "
+                         "voicing, imm/tf_imm.py:680-776)")
     args = ap.parse_args(argv)
 
     cfg = (
@@ -91,7 +110,8 @@ def main(argv=None):
 
     if args.synthetic:
         tracks = synthetic_tracks(imm, 2 if args.debug else 6,
-                                  0.5 if args.debug else 5.0, seed=0)
+                                  0.5 if args.debug else 5.0, seed=0,
+                                  keep_fits=args.original)
     else:
         import os
 
@@ -118,6 +138,13 @@ def main(argv=None):
         f"thresholding OA {out['raw_mean_oa']:.4f}, "
         f"viterbi OA {out['viterbi_mean_oa']:.4f}"
     )
+    if args.original:
+        if not all("fit" in t for t in tracks):
+            raise SystemExit("--original needs per-track fits "
+                             "(supported with --synthetic)")
+        orig = evaluate_imm_original(imm, tracks)
+        out["original"] = orig
+        print(f"original OA {orig['mean_oa']:.4f}")
     return out
 
 

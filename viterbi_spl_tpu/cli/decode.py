@@ -69,6 +69,7 @@ def build_setup(args) -> DecoderSetup:
         voicing_threshold=args.threshold,
         hop_seconds=spec.hop_seconds,
         method=args.method,
+        fused_obs=getattr(args, "fused_obs", False),
     )
 
 
@@ -133,6 +134,11 @@ def main(argv=None):
     ap.add_argument("--format", default="txt", choices=["txt", "npz"])
     ap.add_argument("--transposed", action="store_true",
                     help="inputs are [n_bins, T] instead of [T, n_bins]")
+    ap.add_argument("--fused-obs", action="store_true",
+                    help="serving fast path: fused Pallas observation "
+                         "kernel feeding the decoder directly (shaun "
+                         "method; see hmm/obs_pallas.py for the tolerance "
+                         "contract)")
     ap.add_argument("--skip-existing", action="store_true",
                     help="skip inputs whose output file already exists — "
                          "makes interrupted batch jobs restartable "

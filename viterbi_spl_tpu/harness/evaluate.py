@@ -65,6 +65,11 @@ class DecoderSetup:
     # jdc maps decoded bins to notes directly, without the +/-1-bin
     # probability interpolation (jdc/viterbi_softmax.py:2443-2470)
     interp_est_notes: bool = True
+    # serving fast path: compute the shaun observation model inside a fused
+    # Pallas kernel (hmm/obs_pallas.py) feeding the decoder directly.
+    # Equal to the default path up to softmax-denominator reduction order
+    # and ulp-level transcendentals (see the kernel docstring); opt-in.
+    fused_obs: bool = False
 
     def __post_init__(self):
         if self.method not in ALLOWED_VITERBI_METHODS:
@@ -107,7 +112,10 @@ class DecoderSetup:
         """Decode many tracks together. On TPU this runs the batched Pallas
         kernels (banded fast path when the transition structure allows);
         elsewhere it falls back to the lax.scan decoder per track. Paths are
-        bit-identical across backends (tested)."""
+        bit-identical across backends (tested), except under the opt-in
+        fused_obs serving path (documented tolerance)."""
+        if self.fused_obs and self.method == "shaun":
+            return self._decode_batch_fused(logits_list)
         obs_list = [np.asarray(self.observation_probs(lg)) for lg in logits_list]
 
         if jax.default_backend() == "tpu":
@@ -134,6 +142,63 @@ class DecoderSetup:
             voiced = states < self.n_bins
             bins = np.minimum(states, self.n_bins - 1)
             out.append((voiced, bins))
+        return out
+
+    def _decode_batch_fused(
+        self, logits_list: Sequence[np.ndarray]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Fused serving path: logits -> Pallas observation kernel ->
+        batched decode, all on device (one HBM round trip for the obs)."""
+        from ..hmm.obs_pallas import shaun_log_obs_pallas
+        from ..hmm.viterbi import NEG_PAD
+        from ..hmm.viterbi_pallas import (
+            LANE,
+            _round_up,
+            viterbi_decode_batch_pallas_logobs,
+        )
+
+        block = 64
+        S = self.n_bins + 1
+        P = _round_up(S, LANE)
+        spw = self.spw
+        lengths = [np.asarray(lg).shape[0] for lg in logits_list]
+        N_real = len(logits_list)
+        N = _round_up(max(N_real, 1), 8)
+        T_pad = _round_up(max(lengths), block)
+        # the reflect-padded lane layout is built on the HOST during
+        # staging: an XLA pad of the non-lane-multiple minor dim costs more
+        # than the observation kernel itself (measured 46 ms vs 38 ms at
+        # N=128, T=8192 on v5e)
+        padded = np.full((N, T_pad, P), NEG_PAD, np.float32)
+        for i, lg in enumerate(logits_list):
+            x = np.asarray(lg, np.float32)
+            L = lengths[i]
+            padded[i, :L, spw : spw + self.n_bins] = x
+            padded[i, :L, :spw] = x[:, spw:0:-1]
+            padded[i, :L, spw + self.n_bins : spw + self.n_bins + spw] = (
+                x[:, self.n_bins - 2 : self.n_bins - 2 - spw : -1]
+            )
+        len_vec = np.asarray(lengths + [1] * (N - N_real), np.int32)
+
+        # obs kernel at 32-frame blocks (64 spills vregs past the scoped
+        # VMEM limit at N=128); the decode keeps 64-frame blocks
+        log_obs = shaun_log_obs_pallas(
+            padded, self.n_bins, self.spw, self.threshold_logit,
+            self.obs_p, self.obs_scale, block_frames=32,
+        )
+        states = np.asarray(
+            viterbi_decode_batch_pallas_logobs(
+                transition_matrix=self.transition_matrix,
+                prob_init=self.init_probs,
+                log_obs_batch=log_obs,
+                lengths=len_vec,
+                block_frames=block,
+            )
+        )
+        out = []
+        for i in range(N_real):
+            st = states[i, : lengths[i]].astype(np.int64)
+            out.append((st < self.n_bins, np.minimum(st, self.n_bins - 1)))
         return out
 
 

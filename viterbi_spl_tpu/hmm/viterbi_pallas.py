@@ -600,6 +600,36 @@ def viterbi_decode_batch_pallas(
     log_obs = np.log(obs + TINY)
     log_obs[:, :, S:] = NEG_PAD
     len_vec = np.asarray(lengths + [1] * (N - N_real), np.int32)
+    states = viterbi_decode_batch_pallas_logobs(
+        transition_matrix=transition_matrix,
+        prob_init=prob_init,
+        log_obs_batch=jnp.asarray(log_obs),
+        lengths=len_vec,
+        block_frames=block_frames,
+        interpret=interpret,
+        allow_banded=allow_banded,
+    )
+    states = np.asarray(states)
+    return [states[i, : lengths[i]].astype(np.int64) for i in range(N_real)]
+
+
+def viterbi_decode_batch_pallas_logobs(
+    *,
+    transition_matrix,
+    prob_init,
+    log_obs_batch,
+    lengths,
+    block_frames: int = 128,
+    interpret: bool | None = None,
+    allow_banded: bool = True,
+):
+    """Decode a padded [N, T_pad, P] batch of LOG observations (unvoiced at
+    lane S-1, NEG_PAD beyond — e.g. the fused observation kernel's output).
+    Returns states [N, T_pad] int32 on device."""
+    S = np.asarray(transition_matrix).shape[0]
+    N, T_pad, P = log_obs_batch.shape
+    assert P == _round_up(S, LANE)
+    log_B, log_pi = prepare_log_params(transition_matrix, prob_init, pad_to=P)
 
     log_B_d = jnp.asarray(log_B)
     bstruct = None
@@ -611,18 +641,16 @@ def viterbi_decode_batch_pallas(
         from .viterbi_banded import viterbi_forward_pallas_banded_batch
 
         t1_last, t1m1 = viterbi_forward_pallas_banded_batch(
-            bstruct, jnp.asarray(log_pi), jnp.asarray(log_obs), len_vec,
+            bstruct, jnp.asarray(log_pi), log_obs_batch, lengths,
             block_frames=block_frames, interpret=interpret,
         )
     else:
         t1_last, t1m1 = viterbi_forward_pallas_batch(
-            log_B_d, jnp.asarray(log_pi), jnp.asarray(log_obs), len_vec,
+            log_B_d, jnp.asarray(log_pi), log_obs_batch, lengths,
             block_frames=block_frames, interpret=interpret,
         )
     last_states = np.argmax(np.asarray(t1_last)[:, :S], axis=1).astype(np.int32)
-    states = viterbi_backtrace_pallas_batch(
-        t1m1, log_B_d, last_states, len_vec,
+    return viterbi_backtrace_pallas_batch(
+        t1m1, log_B_d, last_states, lengths,
         block_frames=block_frames, interpret=interpret,
     )
-    states = np.asarray(states)
-    return [states[i, : lengths[i]].astype(np.int64) for i in range(N_real)]
