@@ -146,3 +146,24 @@ def test_imm_app_original_flag():
     out = imm.main(["eval", "--synthetic", "--debug", "--original"])
     assert "original" in out
     assert np.isfinite(out["original"]["mean_oa"])
+
+
+def test_app_native_prefetch_training(tmp_path):
+    """Training through the C++ prefetch ring end-to-end (ftanet: 128-frame
+    snippets fit the debug tracks; msnet's 1200-frame snippets trigger the
+    graceful Python-pipeline fallback)."""
+    from viterbi_spl_tpu.apps import ftanet, msnet
+
+    state = ftanet.main(
+        ["train", "--synthetic", "--debug", "--ckpt", str(tmp_path / "ck"),
+         "--epochs", "1", "--steps-per-epoch", "3", "--patience", "2",
+         "--native-prefetch"]
+    )
+    assert state.best_oa > -1
+
+    state = msnet.main(
+        ["train", "--synthetic", "--debug", "--ckpt", str(tmp_path / "ck2"),
+         "--epochs", "1", "--steps-per-epoch", "2", "--patience", "2",
+         "--native-prefetch"]
+    )
+    assert state.best_oa > -1

@@ -79,3 +79,39 @@ def test_native_validation_errors():
             prob_init=np.full(3, 1 / 3),
             probs_st=np.full((3, 5), 1 / 3, np.float32),
         )
+
+
+def test_prefetch_ring_matches_python_pipeline(rng):
+    """The native prefetch ring yields the exact batches the Python snippet
+    pipeline would produce for the same seed, across epoch boundaries and
+    slot reuse."""
+    from viterbi_spl_tpu.data.registry import TrackDataset
+    from viterbi_spl_tpu.native.prefetch import SnippetPrefetcher
+
+    frames = [70, 45, 101]
+    specs = {
+        f"t{i}": rng.normal(size=(f, 12, 2)).astype(np.float32)
+        for i, f in enumerate(frames)
+    }
+    notes = {
+        f"t{i}": rng.normal(size=f).astype(np.float32)
+        for i, f in enumerate(frames)
+    }
+    ds = TrackDataset(list(specs), lambda t: specs[t], lambda t: dict(
+        notes=notes[t],
+        original=dict(times=np.arange(len(notes[t])) * 0.01,
+                      freqs=np.abs(notes[t])),
+    ))
+
+    pf = SnippetPrefetcher(
+        ds, snippet_len=20, batch_size=3,
+        rng=np.random.default_rng(7), slots=3, threads=2,
+    )
+    ref = pf.python_reference_batches(np.random.default_rng(7))
+    it = iter(pf)
+    for _ in range(12):  # several epochs worth (index has 8 full snippets)
+        spec, nts = next(it)
+        rspec, rnotes = next(ref)
+        np.testing.assert_array_equal(spec, rspec)
+        np.testing.assert_array_equal(nts, rnotes)
+    pf.close()

@@ -249,6 +249,10 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     ap.add_argument("--dump-tracks", default=None,
                     help="directory for per-track piano-roll figures + npz "
                          "dumps (the dcnet/lontano.py analysis outputs)")
+    ap.add_argument("--native-prefetch", action="store_true",
+                    help="assemble training batches on the C++ prefetch "
+                         "ring (native/prefetch.py) instead of the Python "
+                         "generator — the reference's tf.data prefetch role")
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -282,17 +286,40 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
 
     if args.mode == "train":
         rng = np.random.default_rng(0)
-        snippets = training_snippets(datasets["training"], cfg.snippet_len, rng)
 
-        def batches():
-            while True:
-                items = [next(snippets) for _ in range(cfg.batch_size)]
-                items = [
-                    i for i in items if len(i["notes"]) == cfg.snippet_len
-                ] or items[:1]
-                spec = jnp.asarray(np.stack([i["spectrogram"] for i in items]))
-                notes = jnp.asarray(np.stack([i["notes"] for i in items]))
-                yield spec, notes
+        prefetcher = None
+        if args.native_prefetch:
+            from ..native.prefetch import SnippetPrefetcher
+
+            try:
+                prefetcher = SnippetPrefetcher(
+                    datasets["training"], cfg.snippet_len, cfg.batch_size, rng
+                )
+            except ValueError as e:
+                print(f"native prefetch unavailable ({e}); "
+                      "using the Python pipeline")
+
+        if prefetcher is not None:
+
+            def batches():
+                for spec, notes in prefetcher:
+                    # jnp.asarray copies to device before the ring slot is
+                    # recycled on the next iteration
+                    yield jnp.asarray(spec), jnp.asarray(notes)
+        else:
+            snippets = training_snippets(
+                datasets["training"], cfg.snippet_len, rng
+            )
+
+            def batches():
+                while True:
+                    items = [next(snippets) for _ in range(cfg.batch_size)]
+                    items = [
+                        i for i in items if len(i["notes"]) == cfg.snippet_len
+                    ] or items[:1]
+                    spec = jnp.asarray(np.stack([i["spectrogram"] for i in items]))
+                    notes = jnp.asarray(np.stack([i["notes"] for i in items]))
+                    yield spec, notes
 
         steps = args.steps_per_epoch or max(
             len(datasets["training"]) * 4, 8

@@ -27,20 +27,23 @@ _SO_PATH = _THIS_DIR / "libviterbi_native.so"
 _lib = None
 
 
-def build_native(force: bool = False) -> Path:
-    src = _THIS_DIR / "viterbi_native.cpp"
-    if _SO_PATH.exists() and not force:
-        if _SO_PATH.stat().st_mtime >= src.stat().st_mtime:
-            return _SO_PATH
+def build_native(force: bool = False, source: str = "viterbi_native.cpp") -> Path:
+    """Build (on demand) one of the C++ runtime components in this package
+    into lib<stem>.so and return its path."""
+    src = _THIS_DIR / source
+    so_path = _THIS_DIR / f"lib{src.stem}.so"
+    if so_path.exists() and not force:
+        if so_path.stat().st_mtime >= src.stat().st_mtime:
+            return so_path
     subprocess.run(
         [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            str(src), "-o", str(_SO_PATH),
+            str(src), "-o", str(so_path), "-lpthread",
         ],
         check=True,
         capture_output=True,
     )
-    return _SO_PATH
+    return so_path
 
 
 def _load():
