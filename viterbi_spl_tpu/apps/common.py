@@ -39,7 +39,7 @@ from ..metrics.mel_eval import midi_to_hz
 @dataclasses.dataclass
 class AppConfig:
     family: FamilySpec
-    make_model: Callable[[], object]
+    make_model: Callable[..., object]  # accepts dtype=... (compute dtype)
     loss_fn: Callable  # (notes, model_output) -> scalar
     logits_adapter: Callable  # model_output -> [B, T, n_bins] pitch logits
     snippet_len: int
@@ -53,6 +53,9 @@ class AppConfig:
     # optional transform from [B, T, ...] snippet layout to the model's
     # input layout (e.g. tonet wants [B, 3, 360, T])
     input_adapter: Callable | None = None
+    # mixed precision: compute dtype for the model's convs/denses/LSTMs
+    # (params, BatchNorm statistics, losses, and logits stay float32)
+    compute_dtype: object = jnp.float32
 
 
 def synthetic_dataset(
@@ -94,7 +97,7 @@ def synthetic_dataset(
 
 
 def init_model(cfg: AppConfig, sample_batch: np.ndarray):
-    model = cfg.make_model()
+    model = cfg.make_model(dtype=cfg.compute_dtype)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(sample_batch), train=False
     )
@@ -253,7 +256,13 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
                     help="assemble training batches on the C++ prefetch "
                          "ring (native/prefetch.py) instead of the Python "
                          "generator — the reference's tf.data prefetch role")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed precision: run the model's convs/denses/"
+                         "LSTMs in bfloat16 (MXU-native); params, BatchNorm "
+                         "statistics, losses, and logits stay float32")
     args = ap.parse_args(argv)
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
 
     if args.synthetic:
         n, frames = (2, 400) if args.debug else (6, 2000)

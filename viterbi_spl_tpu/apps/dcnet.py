@@ -12,7 +12,7 @@ from .common import AppConfig, app_main
 def config() -> AppConfig:
     return AppConfig(
         family=family_spec("dcnet"),
-        make_model=lambda: DCNet(),
+        make_model=lambda **kw: DCNet(**kw),
         loss_fn=dcnet_loss,
         logits_adapter=lambda out: out,
         snippet_len=1200,

@@ -17,7 +17,7 @@ def _loss(notes, out):
 def config() -> AppConfig:
     return AppConfig(
         family=family_spec("jdc"),
-        make_model=lambda: JDC(),
+        make_model=lambda **kw: JDC(**kw),
         loss_fn=_loss,
         logits_adapter=lambda out: out["pitch"][..., 1:] - out["pitch"][..., :1],
         snippet_len=31,

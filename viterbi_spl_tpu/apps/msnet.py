@@ -11,7 +11,7 @@ from .common import AppConfig, app_main
 def config() -> AppConfig:
     return AppConfig(
         family=family_spec("msnet"),
-        make_model=lambda: MSNet(),
+        make_model=lambda **kw: MSNet(**kw),
         loss_fn=softmax_smoothed_loss,
         logits_adapter=lambda out: out[..., 1:] - out[..., :1],
         snippet_len=1200,

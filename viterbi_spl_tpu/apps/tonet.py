@@ -37,7 +37,7 @@ def _logits_adapter(out):
 def config() -> AppConfig:
     return AppConfig(
         family=family_spec("tonet"),
-        make_model=lambda: TONet(),
+        make_model=lambda **kw: TONet(**kw),
         loss_fn=tonet_loss,
         logits_adapter=_logits_adapter,
         snippet_len=128,

@@ -13,9 +13,15 @@ Architecture parity with dcnet/acoustic_model_shaun.py:23-91:
 Trained with per-bin BCE vs Gaussian-blurred targets (targets.dcnet_loss)
 and manual weight decay 2e-4 applied ONLY to the global conv kernel
 (dcnet/softmax_viterbi.py:293-364) — see `global_conv_kernel_path`.
+
+`dtype` is the compute dtype (mixed precision): convs/denses run in it
+(bf16 feeds the MXU single-pass and halves activation HBM traffic),
+while params, BatchNorm statistics, and the returned logits stay float32.
 """
 
 from __future__ import annotations
+
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,6 +31,7 @@ class DCNet(nn.Module):
     n_freq_in: int = 500
     n_bins: int = 320
     dropout_rate: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -40,6 +47,7 @@ class DCNet(nn.Module):
                 kernel_dilation=(2**layer_idx, 1),
                 padding="SAME",
                 use_bias=False,
+                dtype=self.dtype,
                 name=f"local_conv_{layer_idx}",
             )(h)
             h = nn.BatchNorm(
@@ -59,6 +67,7 @@ class DCNet(nn.Module):
             kernel_dilation=(1, 5),
             padding="VALID",
             use_bias=False,
+            dtype=self.dtype,
             name="global_conv",
         )(h)
         if h.shape[2] != self.n_bins:
@@ -69,15 +78,15 @@ class DCNet(nn.Module):
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
 
-        h = nn.Dense(64, use_bias=False, name="fusion_dense")(h)
+        h = nn.Dense(64, use_bias=False, dtype=self.dtype, name="fusion_dense")(h)
         h = nn.BatchNorm(
             use_running_average=not train, use_scale=False, name="fusion_bn"
         )(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
 
-        h = nn.Dense(1, use_bias=True, name="output_dense")(h)
-        return jnp.squeeze(h, axis=-1)  # [B, T, 320]
+        h = nn.Dense(1, use_bias=True, dtype=self.dtype, name="output_dense")(h)
+        return jnp.squeeze(h, axis=-1).astype(jnp.float32)  # [B, T, 320]
 
     @staticmethod
     def global_conv_kernel_path() -> tuple[str, str]:

@@ -17,6 +17,8 @@ needed, and it vectorizes cleanly on TPU.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -42,6 +44,8 @@ def unpool_freq4(x, idx, F_out: int):
 
 class MSNet(nn.Module):
     n_bins: int = 320
+    # compute dtype for convs (mixed precision); params/BN/logits stay f32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -63,6 +67,7 @@ class MSNet(nn.Module):
                 padding="SAME",
                 use_bias=False,
                 kernel_init=nn.initializers.lecun_normal(),
+                dtype=self.dtype,
                 name=f"enc_conv_{layer_idx}",
             )(h)
             h = nn.selu(h)
@@ -75,7 +80,8 @@ class MSNet(nn.Module):
             use_running_average=not train, use_scale=False, name="nm_bn"
         )(encoder_out)
         nm = jnp.pad(nm, [(0, 0), (2, 2), (0, 0), (0, 0)])
-        nm = nn.Conv(1, (5, 5), padding="VALID", use_bias=True, name="nm_conv")(nm)
+        nm = nn.Conv(1, (5, 5), padding="VALID", use_bias=True, dtype=self.dtype,
+                     name="nm_conv")(nm)
         # [B, T, 1, 1]
 
         # decoder
@@ -97,6 +103,7 @@ class MSNet(nn.Module):
                     padding="SAME",
                     use_bias=False,
                     kernel_init=nn.initializers.lecun_normal(),
+                    dtype=self.dtype,
                     name=f"dec_conv_{layer_idx}",
                 )(h)
                 h = nn.selu(h)
@@ -104,7 +111,10 @@ class MSNet(nn.Module):
                 h = nn.BatchNorm(
                     use_running_average=not train, use_scale=False, name="dec_bn_0"
                 )(h)
-                h = nn.Conv(1, (5, 5), padding="SAME", use_bias=True, name="dec_conv_0")(h)
+                h = nn.Conv(1, (5, 5), padding="SAME", use_bias=True,
+                            dtype=self.dtype, name="dec_conv_0")(h)
 
-        combined = jnp.concatenate([nm, h], axis=2)  # [B, T, 321, 1]
+        combined = jnp.concatenate(
+            [nm.astype(jnp.float32), h.astype(jnp.float32)], axis=2
+        )  # [B, T, 321, 1]
         return jnp.squeeze(combined, axis=-1)  # [B, T, 321]

@@ -9,6 +9,8 @@ Both take tonet-layout input [B, 3, 360, T] and return pitch logits
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -17,6 +19,7 @@ class MCDNN(nn.Module):
     """Per-frame MLP over the flattened 3x360 CFP column."""
 
     freq_bin: int = 360
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -26,13 +29,13 @@ class MCDNN(nn.Module):
 
         def mlp(h, widths, name, last_selu):
             for i, w in enumerate(widths):
-                h = nn.Dense(w, name=f"{name}_{i}")(h)
+                h = nn.Dense(w, dtype=self.dtype, name=f"{name}_{i}")(h)
                 if i < len(widths) - 1:
                     h = nn.Dropout(0.2, deterministic=not train)(h)
                     h = nn.selu(h)
                 elif last_selu:
                     h = nn.selu(h)
-            return h
+            return h.astype(jnp.float32)
 
         pitch = mlp(h, (2048, 1024, 512, self.freq_bin), "mcdnn", last_selu=False)
         bm = mlp(h, (512, 128, 1), "bm", last_selu=True)
@@ -44,6 +47,7 @@ class _MultiDilation(nn.Module):
     """Densely-connected dilated conv block (multi_dr.py:161-181)."""
 
     out_ch: int = 10
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -52,24 +56,25 @@ class _MultiDilation(nn.Module):
 
         x1 = nn.selu(
             nn.Conv(self.out_ch, (3, 3), kernel_dilation=(3, 3), padding="SAME",
-                    name="c1")(bn(x, "bn1"))
-        )
+                    dtype=self.dtype, name="c1")(bn(x, "bn1"))
+        ).astype(jnp.float32)
         x2 = jnp.concatenate([x, x1], axis=-1)
         x2 = nn.selu(
             nn.Conv(self.out_ch, (3, 3), kernel_dilation=(6, 6), padding="SAME",
-                    name="c2")(bn(x2, "bn2"))
-        )
+                    dtype=self.dtype, name="c2")(bn(x2, "bn2"))
+        ).astype(jnp.float32)
         x3 = jnp.concatenate([x, x1, x2], axis=-1)
         return nn.selu(
             nn.Conv(self.out_ch, (3, 3), kernel_dilation=(6, 6), padding="SAME",
-                    name="c3")(bn(x3, "bn3"))
-        )
+                    dtype=self.dtype, name="c3")(bn(x3, "bn3"))
+        ).astype(jnp.float32)
 
 
 class MLDRnet(nn.Module):
     """Multi-dilation pyramid network (tonet/model/multi_dr.py:5-187)."""
 
     freq_bin: int = 360
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -78,17 +83,19 @@ class MLDRnet(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, name="enc_bn")(h)
 
         def conv_s2(ch, name):
-            return nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", name=name)
+            return nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                           dtype=self.dtype, name=name)
 
         def up2(ch, name):
-            return nn.ConvTranspose(ch, (1, 1), strides=(2, 2), name=name)
+            return nn.ConvTranspose(ch, (1, 1), strides=(2, 2),
+                                    dtype=self.dtype, name=name)
 
         f1 = h
         f2 = conv_s2(3, "c2_1")(f1)
         f3 = conv_s2(3, "c3_1")(f2)
-        f1 = _MultiDilation(name="md_0")(f1, train)
-        f2 = _MultiDilation(name="md_1")(f2, train)
-        f3 = _MultiDilation(name="md_2")(f3, train)
+        f1 = _MultiDilation(dtype=self.dtype, name="md_0")(f1, train)
+        f2 = _MultiDilation(dtype=self.dtype, name="md_1")(f2, train)
+        f3 = _MultiDilation(dtype=self.dtype, name="md_2")(f3, train)
 
         f1_2 = conv_s2(10, "c1_1")(f1)
         f1_3 = conv_s2(10, "c1_2")(f1_2)
@@ -101,27 +108,33 @@ class MLDRnet(nn.Module):
         f2 = jnp.concatenate([f2, f1_2, f3_2], axis=-1)
         f3 = jnp.concatenate([f3, f1_3, f2_3], axis=-1)
 
-        f1 = _MultiDilation(name="md_3")(f1, train)
-        f2 = _MultiDilation(name="md_4")(f2, train)
-        f3 = _MultiDilation(name="md_5")(f3, train)
+        f1 = _MultiDilation(dtype=self.dtype, name="md_3")(f1, train)
+        f2 = _MultiDilation(dtype=self.dtype, name="md_4")(f2, train)
+        f3 = _MultiDilation(dtype=self.dtype, name="md_5")(f3, train)
 
         f2 = up2(10, "c2_4")(f2)
         f3 = up2(10, "c3_4")(f3)
         f3 = up2(10, "c3_5")(f3)
         enc = jnp.concatenate([f1, f2, f3], axis=-1)
-        enc = nn.Conv(10, (1, 1), name="enc_final")(enc)
+        enc = nn.Conv(10, (1, 1), dtype=self.dtype, name="enc_final")(enc)
 
         # decoder
         d = nn.BatchNorm(use_running_average=not train, name="dec_bn")(enc)
-        d = nn.selu(nn.Conv(10, (3, 3), padding="SAME", name="dec_c1")(d))
+        d = nn.selu(nn.Conv(10, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="dec_c1")(d))
 
         bm = jnp.mean(d, axis=1, keepdims=True)  # avg-pool over freq
         bm = nn.BatchNorm(use_running_average=not train, name="bm_bn")(bm)
-        bm = nn.selu(nn.Conv(1, (3, 3), padding="SAME", name="bm_conv")(bm))
+        bm = nn.selu(nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
+                             name="bm_conv")(bm))
 
         fin = nn.BatchNorm(use_running_average=not train, name="fin_bn")(d)
-        fin = nn.selu(nn.Conv(10, (3, 3), padding="SAME", name="fin_c1")(fin))
-        fin = nn.selu(nn.Conv(1, (3, 3), padding="SAME", name="fin_c2")(fin))
+        fin = nn.selu(nn.Conv(10, (3, 3), padding="SAME", dtype=self.dtype,
+                              name="fin_c1")(fin))
+        fin = nn.selu(nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
+                              name="fin_c2")(fin))
 
-        out = jnp.concatenate([bm, fin], axis=1)  # [B, 1+F, T, 1]
+        out = jnp.concatenate(
+            [bm.astype(jnp.float32), fin.astype(jnp.float32)], axis=1
+        )  # [B, 1+F, T, 1]
         return jnp.transpose(out[..., 0], (0, 1, 2))  # [B, 361, T]

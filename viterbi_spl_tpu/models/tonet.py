@@ -22,6 +22,8 @@ Loss: mean of 3 CEs on integer pitch/chroma/octave labels
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,7 @@ class TorchSFModule(nn.Module):
     n_channel: int
     reduction: int = 4
     limitation: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x_list, train: bool = False):
@@ -53,13 +56,15 @@ class TorchSFModule(nn.Module):
         fused = nn.BatchNorm(use_running_average=not train, name="bn")(fused)
         fused = nn.selu(
             nn.Dense(max(self.n_channel // self.reduction, self.limitation),
-                     name="fuse")(fused)
+                     dtype=self.dtype, name="fuse")(fused)
         )
         masks = [
-            nn.Dense(self.n_channel, name=f"mask_{i}")(fused)
+            nn.Dense(self.n_channel, dtype=self.dtype, name=f"mask_{i}")(fused)
             for i in range(len(x_list))
         ]
-        mask_stack = nn.softmax(jnp.stack(masks, axis=-1), axis=-2)
+        mask_stack = nn.softmax(
+            jnp.stack(masks, axis=-1).astype(jnp.float32), axis=-2
+        ).astype(self.dtype)
         out = 0.0
         for i, x_s in enumerate(x_list):
             out = out + x_s * mask_stack[:, :, i][:, None, None, :]
@@ -73,27 +78,30 @@ class TorchFTAModule(nn.Module):
     out_channels: int
     kt: int = 3
     kf: int = 3
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         C = self.out_channels
+        dt = self.dtype
         x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
-        x_r = nn.relu(nn.Conv(C, (1, 1), name="res")(x))
+        x_r = nn.relu(nn.Conv(C, (1, 1), dtype=dt, name="res")(x))
 
         a_t = jnp.mean(x, axis=1)  # [B, T, C_in]
-        a_t = nn.selu(nn.Conv(C, (self.kt,), padding="SAME", name="ta1")(a_t))
-        a_t = nn.selu(nn.Conv(C, (self.kt,), padding="SAME", name="ta2")(a_t))
-        a_t = nn.softmax(a_t, axis=1)  # over time (torch Softmax(dim=-1) on [B,C,T])
-        x_t = nn.selu(nn.Conv(C, (3, 3), padding="SAME", name="ta3")(x))
-        x_t = nn.selu(nn.Conv(C, (5, 5), padding="SAME", name="ta4")(x_t))
+        a_t = nn.selu(nn.Conv(C, (self.kt,), padding="SAME", dtype=dt, name="ta1")(a_t))
+        a_t = nn.selu(nn.Conv(C, (self.kt,), padding="SAME", dtype=dt, name="ta2")(a_t))
+        # over time (torch Softmax(dim=-1) on [B,C,T]); f32 under mixed precision
+        a_t = nn.softmax(a_t.astype(jnp.float32), axis=1).astype(dt)
+        x_t = nn.selu(nn.Conv(C, (3, 3), padding="SAME", dtype=dt, name="ta3")(x))
+        x_t = nn.selu(nn.Conv(C, (5, 5), padding="SAME", dtype=dt, name="ta4")(x_t))
         x_t = x_t * a_t[:, None, :, :]
 
         a_f = jnp.mean(x, axis=2)  # [B, F, C_in]
-        a_f = nn.selu(nn.Conv(C, (self.kf,), padding="SAME", name="fa1")(a_f))
-        a_f = nn.selu(nn.Conv(C, (self.kf,), padding="SAME", name="fa2")(a_f))
-        a_f = nn.softmax(a_f, axis=1)  # over freq
-        x_f = nn.selu(nn.Conv(C, (3, 3), padding="SAME", name="fa3")(x))
-        x_f = nn.selu(nn.Conv(C, (5, 5), padding="SAME", name="fa4")(x_f))
+        a_f = nn.selu(nn.Conv(C, (self.kf,), padding="SAME", dtype=dt, name="fa1")(a_f))
+        a_f = nn.selu(nn.Conv(C, (self.kf,), padding="SAME", dtype=dt, name="fa2")(a_f))
+        a_f = nn.softmax(a_f.astype(jnp.float32), axis=1).astype(dt)  # over freq
+        x_f = nn.selu(nn.Conv(C, (3, 3), padding="SAME", dtype=dt, name="fa3")(x))
+        x_f = nn.selu(nn.Conv(C, (5, 5), padding="SAME", dtype=dt, name="fa4")(x_f))
         x_f = x_f * a_f[:, :, None, :]
 
         return x_r, x_t, x_f
@@ -104,22 +112,24 @@ class TorchFTAnet(nn.Module):
     Input [B, F=360, T, 3] -> logits [B, 361, T] (bm row first)."""
 
     freq_bin: int = 360
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         x = nn.BatchNorm(use_running_average=not train, name="in_bn")(x)
 
         bm = x
         for i, (ch, k) in enumerate(((16, 4), (16, 3), (16, 6), (1, 5))):
             bm = nn.selu(
-                nn.Conv(ch, (k, 1), strides=(k, 1), padding="VALID",
+                nn.Conv(ch, (k, 1), strides=(k, 1), padding="VALID", dtype=dt,
                         name=f"bm_{i}")(bm)
             )
         # bm: [B, 1, T, 1]
 
         def fta_sf(h, c, name):
-            branches = TorchFTAModule(c, name=f"fta_{name}")(h, train)
-            return TorchSFModule(c, name=f"sf_{name}")(branches, train)
+            branches = TorchFTAModule(c, dtype=dt, name=f"fta_{name}")(h, train)
+            return TorchSFModule(c, dtype=dt, name=f"sf_{name}")(branches, train)
 
         h = fta_sf(x, 32, "1")
         h = nn.max_pool(h, (2, 2), strides=(2, 2))
@@ -133,7 +143,9 @@ class TorchFTAnet(nn.Module):
         h = fta_sf(h, 32, "6")
         h = fta_sf(h, 1, "7")
 
-        out = jnp.concatenate([bm, h], axis=1)  # [B, 361, T, 1]
+        out = jnp.concatenate(
+            [bm.astype(jnp.float32), h.astype(jnp.float32)], axis=1
+        )  # [B, 361, T, 1]
         return jnp.squeeze(out, axis=-1)  # [B, 361, T]
 
 
@@ -155,35 +167,38 @@ class CombineLayer(nn.Module):
     d_inner: int = 4096
     n_head: int = 8
     dropout: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
         d_k = self.d_model // self.n_head
         residual = x
         h = nn.LayerNorm(epsilon=1e-6, name="attn_ln")(x)
         B, T, _ = h.shape
 
         def proj(name):
-            return nn.Dense(self.n_head * d_k, use_bias=False, name=name)(h).reshape(
-                B, T, self.n_head, d_k
-            )
+            return nn.Dense(self.n_head * d_k, use_bias=False, dtype=dt,
+                            name=name)(h).reshape(B, T, self.n_head, d_k)
 
         q, k, v = proj("w_qs"), proj("w_ks"), proj("w_vs")
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(jnp.float32(d_k))
+        # scores/softmax in f32 under mixed precision; attn·v back in dtype
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        attn = attn / jnp.sqrt(jnp.float32(d_k))
         attn = nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(0.1, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, -1)
-        out = nn.Dense(self.d_model, use_bias=False, name="fc")(out)
+        attn = nn.Dropout(0.1, deterministic=not train)(attn).astype(dt)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(dt)).reshape(B, T, -1)
+        out = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        x = out + residual
+        x = out.astype(jnp.float32) + residual
 
         residual = x
         h = nn.LayerNorm(epsilon=1e-6, name="ffn_ln")(x)
-        h = nn.Dense(self.d_inner, name="w1")(h)
+        h = nn.Dense(self.d_inner, dtype=dt, name="w1")(h)
         h = nn.relu(h)
-        h = nn.Dense(self.d_model, name="w2")(h)
+        h = nn.Dense(self.d_model, dtype=dt, name="w2")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return h + residual
+        return h.astype(jnp.float32) + residual
 
 
 class _MLPDecoder(nn.Module):
@@ -191,11 +206,12 @@ class _MLPDecoder(nn.Module):
 
     widths: tuple[int, ...]
     dropout: float = 0.2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, w in enumerate(self.widths):
-            x = nn.Dense(w, name=f"dense_{i}")(x)
+            x = nn.Dense(w, dtype=self.dtype, name=f"dense_{i}")(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = nn.selu(x)
         return x
@@ -207,6 +223,9 @@ class TONet(nn.Module):
     octave_class: int = 6
     attn_dim: int = 2048
     seg_frame: int = 128
+    # compute dtype (mixed precision); params, norms, softmaxes, and the
+    # returned logits stay f32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, cfp, tcfp=None, train: bool = False):
@@ -219,8 +238,9 @@ class TONet(nn.Module):
         def to_nhwc(x):  # [B, 3, F, T] -> [B, F, T, 3]
             return jnp.transpose(x, (0, 2, 3, 1))
 
-        out_l = TorchFTAnet(self.freq_bin, name="l_model")(to_nhwc(cfp), train)
-        out_r = TorchFTAnet(self.freq_bin, name="r_model")(to_nhwc(tcfp), train)
+        dt = self.dtype
+        out_l = TorchFTAnet(self.freq_bin, dtype=dt, name="l_model")(to_nhwc(cfp), train)
+        out_r = TorchFTAnet(self.freq_bin, dtype=dt, name="r_model")(to_nhwc(tcfp), train)
 
         bm_l, feat_l = out_l[:, :1, :], out_l[:, 1:, :]
         bm_r, feat_r = out_r[:, :1, :], out_r[:, 1:, :]
@@ -230,33 +250,41 @@ class TONet(nn.Module):
         # tcfp fusion convs over time (channels = freq bins)
         fa = jnp.swapaxes(feature_agg, 1, 2)  # [B, T, 720]
         feature_agg_mi = nn.selu(
-            nn.Conv(self.freq_bin, (5,), padding="SAME", name="tcfp_linear")(fa)
-        )
+            nn.Conv(self.freq_bin, (5,), padding="SAME", dtype=dt,
+                    name="tcfp_linear")(fa)
+        ).astype(jnp.float32)
         feature_agg_mi = jnp.swapaxes(feature_agg_mi, 1, 2)  # [B, 360, T]
         ba = jnp.swapaxes(bm_agg, 1, 2)  # [B, T, 2]
-        bm_agg_mi = nn.selu(nn.Conv(1, (5,), padding="SAME", name="tcfp_bm")(ba))
+        bm_agg_mi = nn.selu(
+            nn.Conv(1, (5,), padding="SAME", dtype=dt, name="tcfp_bm")(ba)
+        ).astype(jnp.float32)
         bm_agg_mi = jnp.swapaxes(bm_agg_mi, 1, 2)  # [B, 1, T]
 
         # tone / octave decoders
         pos = jnp.asarray(sinusoid_table(self.seg_frame, self.attn_dim))
 
         def branch(name, widths, n_cls):
-            h = nn.Dense(self.attn_dim, name=f"{name}_in")(fa)
-            h = h + pos[None, : h.shape[1], :]
+            h = nn.Dense(self.attn_dim, dtype=dt, name=f"{name}_in")(fa)
+            h = h.astype(jnp.float32) + pos[None, : h.shape[1], :]
             h = nn.Dropout(0.2, deterministic=not train)(h)
             h = nn.LayerNorm(epsilon=1e-6, name=f"{name}_norm")(h)
             for i in range(2):
                 h = CombineLayer(
-                    self.attn_dim, self.attn_dim * 2, name=f"{name}_attn_{i}"
+                    self.attn_dim, self.attn_dim * 2, dtype=dt,
+                    name=f"{name}_attn_{i}",
                 )(h, train)
-            h = _MLPDecoder(widths + (n_cls,), name=f"{name}_linear")(h, train)
-            return jnp.swapaxes(h, 1, 2)  # [B, n_cls, T]
+            h = _MLPDecoder(widths + (n_cls,), dtype=dt, name=f"{name}_linear")(h, train)
+            return jnp.swapaxes(h.astype(jnp.float32), 1, 2)  # [B, n_cls, T]
 
         tone_prob = branch("tone", (512, 128), self.tone_class)
         octave_prob = branch("octave", (256, 64), self.octave_class)
 
-        tone_bm = nn.selu(nn.Dense(1, name="tone_bm")(ba))  # [B, T, 1]
-        octave_bm = nn.selu(nn.Dense(1, name="octave_bm")(ba))
+        tone_bm = nn.selu(nn.Dense(1, dtype=dt, name="tone_bm")(ba)).astype(
+            jnp.float32
+        )  # [B, T, 1]
+        octave_bm = nn.selu(nn.Dense(1, dtype=dt, name="octave_bm")(ba)).astype(
+            jnp.float32
+        )
         tone_prob = jnp.concatenate(
             [jnp.swapaxes(tone_bm, 1, 2), tone_prob], axis=1
         )  # [B, 13, T]
@@ -269,8 +297,9 @@ class TONet(nn.Module):
         )  # [B, 381, T]
         final = jnp.swapaxes(final, 1, 2)
         final = nn.selu(
-            nn.Conv(self.freq_bin, (5,), padding="SAME", name="final_linear")(final)
-        )
+            nn.Conv(self.freq_bin, (5,), padding="SAME", dtype=dt,
+                    name="final_linear")(final)
+        ).astype(jnp.float32)
         final = jnp.swapaxes(final, 1, 2)  # [B, 360, T]
         pitch = jnp.concatenate([bm_agg_mi, final], axis=1)  # [B, 361, T]
 
