@@ -172,3 +172,49 @@ def test_stereo_fit_and_separation(rng, imm_small):
     # Wiener masks sum to ~(SV+SM)/hatSX = 1 -> near-exact mix reconstruction
     err = np.mean((rec - yL) ** 2) / np.mean(yL**2)
     assert err < 0.05, f"separation does not reconstruct the mix (err {err:.3f})"
+
+
+def test_device_fit_matches_host_patience_loop(rng, imm_small):
+    """fit() runs its patience loop on device (lax.while_loop); it must
+    select the same best-IS-divergence state as the reference's host loop
+    (first iteration always accepted, strict-< improvement, stop after
+    patient_iters non-improving sweeps or niters total)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = imm_small.config
+    y = synth(rng, 44100 // 4)
+    SX = np.abs(np.asarray(imm_small.stft.stft(y))) ** 2
+
+    got = imm_small.fit(SX, seed=3)
+
+    # host-loop oracle with identical init (fit's seeding scheme)
+    SXd = jnp.asarray(SX, jnp.float32).T
+    N = SXd.shape[1]
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    state = (
+        jnp.abs(jax.random.normal(ks[0], (cfg.P, cfg.K))),
+        jnp.abs(jax.random.normal(ks[1], (cfg.K, N))),
+        jnp.abs(jax.random.normal(ks[2], (cfg.U, N))),
+        jnp.abs(jax.random.normal(ks[3], (cfg.F, cfg.R))),
+        jnp.abs(jax.random.normal(ks[4], (cfg.R, N))),
+    )
+    min_err, since, best = None, 0, None
+    for _ in range(cfg.niters):
+        state, aux, err = imm_small._iter_fn(SXd, *state)
+        err = float(err)
+        if min_err is None or err < min_err:
+            min_err, since = err, 0
+            best = dict(state=state, aux=aux, err=err)
+        else:
+            since += 1
+        if since == cfg.patient_iters:
+            break
+
+    assert got["err"] == pytest.approx(best["err"], rel=1e-5)
+    for k, v in zip(("HGAMMA", "HPHI", "HF0", "WM", "HM"), best["state"]):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(v),
+                                   rtol=1e-4, atol=1e-7, err_msg=k)
+    for k, v in zip(("WPHI", "SPHI", "SF0", "SV", "SM", "hatSX"), best["aux"]):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(v),
+                                   rtol=1e-3, atol=1e-6, err_msg=k)

@@ -128,6 +128,8 @@ class IMM:
             bins_per_semitone=config.bins_per_note, n_bins=config.U
         )
         self._iter_fn = jax.jit(self._iteration)
+        self._fit_fn = jax.jit(self._fit_loop)
+        self._stereo_fit_fn = jax.jit(self._stereo_fit_loop)
 
     # ------------------------------------------------------------------
     def _iteration(self, SX, HGAMMA, HPHI, HF0, WM, HM):
@@ -204,10 +206,74 @@ class IMM:
         t = (X + eps) / (Y + eps)
         return jnp.mean(-jnp.log(t) + t) - 1.0
 
+    def _keep_best_while(self, iterate_fn, state0):
+        """Device-side patience loop shared by the mono/stereo fits.
+
+        The reference iterates on the host, reading the IS divergence
+        after every sweep to drive the patience-2 early stop
+        (imm/tf_imm.py:205-352 + the fit loops of imm/main_imm.py). Through
+        the TPU's async host that read costs a full round trip per
+        iteration — measured 22 ms of a 26 ms iteration at N=8192 frames
+        on v5e (scripts/tpu_imm_bench.py). This loop keeps the patience
+        counter, best-state selection, and early stop inside one
+        `lax.while_loop`, with identical semantics: strict `<` improvement,
+        the first iteration always accepted, stop after `patient_iters`
+        non-improving sweeps or `niters` total."""
+        cfg = self.config
+
+        def cond(carry):
+            it, since, _, _, _ = carry
+            return jnp.logical_and(it < cfg.niters, since < cfg.patient_iters)
+
+        def body(carry):
+            it, since, min_err, state, best = carry
+            new_state, err = iterate_fn(state)
+            better = jnp.logical_or(it == 0, err < min_err)
+            best_state, best_err = best
+            best_state = jax.tree.map(
+                lambda n, b: jnp.where(better, n, b), new_state, best_state
+            )
+            best = (best_state, jnp.where(better, err, best_err))
+            min_err = jnp.where(better, err, min_err)
+            since = jnp.where(better, jnp.int32(0), since + 1)
+            return it + 1, since, min_err, new_state, best
+
+        init = (
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.float32(jnp.inf),
+            state0,
+            (state0, jnp.float32(jnp.inf)),
+        )
+        it, _, _, _, (best_state, best_err) = jax.lax.while_loop(cond, body, init)
+        return best_state, best_err, it
+
+    def _fit_loop(self, SX, HGAMMA, HPHI, HF0, WM, HM):
+        def iterate(state):
+            new_state, _, err = self._iteration(SX, *state)
+            return new_state, err
+
+        best_state, best_err, it = self._keep_best_while(
+            iterate, (HGAMMA, HPHI, HF0, WM, HM)
+        )
+        # the aux spectra are pure functions of the final factors — the same
+        # expressions the iteration tail evaluates (see _iteration)
+        HGAMMA, HPHI, HF0, WM, HM = best_state
+        WGAMMA = jnp.asarray(self.WGAMMA)
+        WF0 = jnp.asarray(self.WF0)
+        WPHI = WGAMMA @ HGAMMA
+        SPHI = WPHI @ HPHI
+        SF0 = WF0 @ HF0
+        SM = WM @ HM
+        SV = SPHI * SF0
+        hatSX = SV + SM
+        return best_state, (WPHI, SPHI, SF0, SV, SM, hatSX), best_err, it
+
     def fit(self, SX, seed: int = 0) -> dict:
         """Run the NMF on a power spectrogram SX [N, F] (time-major, as the
         STFT returns). Returns the best-IS-divergence factor dict with
-        state-major [F, N]/[U, N] layouts like the reference."""
+        state-major [F, N]/[U, N] layouts like the reference. The whole
+        patience loop runs on device (see _keep_best_while)."""
         cfg = self.config
         SX = jnp.asarray(SX, jnp.float32).T  # [F, N]
         N = SX.shape[1]
@@ -219,25 +285,15 @@ class IMM:
         WM = jnp.abs(jax.random.normal(ks[3], (cfg.F, cfg.R)))
         HM = jnp.abs(jax.random.normal(ks[4], (cfg.R, N)))
 
-        min_err, since, best = None, 0, None
-        for _ in range(cfg.niters):
-            (HGAMMA, HPHI, HF0, WM, HM), aux, err = self._iter_fn(
-                SX, HGAMMA, HPHI, HF0, WM, HM
-            )
-            err = float(err)
-            if min_err is None or err < min_err:
-                min_err, since = err, 0
-                WPHI, SPHI, SF0, SV, SM, hatSX = aux
-                best = dict(
-                    HGAMMA=HGAMMA, HPHI=HPHI, HF0=HF0, WM=WM, HM=HM,
-                    WPHI=WPHI, SPHI=SPHI, SF0=SF0, SV=SV, SM=SM, hatSX=hatSX,
-                    err=err,
-                )
-            else:
-                since += 1
-            if since == cfg.patient_iters:
-                break
-        return best
+        (HGAMMA, HPHI, HF0, WM, HM), aux, err, _ = self._fit_fn(
+            SX, HGAMMA, HPHI, HF0, WM, HM
+        )
+        WPHI, SPHI, SF0, SV, SM, hatSX = aux
+        return dict(
+            HGAMMA=HGAMMA, HPHI=HPHI, HF0=HF0, WM=WM, HM=HM,
+            WPHI=WPHI, SPHI=SPHI, SF0=SF0, SV=SV, SM=SM, hatSX=hatSX,
+            err=float(err),
+        )
 
     # ------------------------------------------------------------------
     def _stereo_iteration(self, SXL, SXR, HGAMMA, HPHI, HF0, WM, HM,
@@ -388,28 +444,39 @@ class IMM:
             jax.random.uniform(ks[4], (cfg.R,)),
             jnp.float32(1.0) - jax.random.uniform(ks[4], (cfg.R,)),
         )
-        if not hasattr(self, "_stereo_iter_fn"):
-            self._stereo_iter_fn = jax.jit(self._stereo_iteration)
+        (HGAMMA, HPHI, HF0, WM, HM, aL, aR, bL, bR), aux, err, _ = (
+            self._stereo_fit_fn(SXL, SXR, *state)
+        )
+        SVL, SVR, SML, SMR, hatSXL, hatSXR = aux
+        return dict(
+            HGAMMA=HGAMMA, HPHI=HPHI, HF0=HF0, WM=WM, HM=HM,
+            alphaL=aL, alphaR=aR, betaL=bL, betaR=bR,
+            SVL=SVL, SVR=SVR, SML=SML, SMR=SMR,
+            hatSXL=hatSXL, hatSXR=hatSXR, err=float(err),
+        )
 
-        min_err, since, best = None, 0, None
-        for _ in range(cfg.niters):
-            state, aux, err = self._stereo_iter_fn(SXL, SXR, *state)
-            err = float(err)
-            if min_err is None or err < min_err:
-                min_err, since = err, 0
-                SVL, SVR, SML, SMR, hatSXL, hatSXR = aux
-                HGAMMA, HPHI, HF0, WM, HM, aL, aR, bL, bR = state
-                best = dict(
-                    HGAMMA=HGAMMA, HPHI=HPHI, HF0=HF0, WM=WM, HM=HM,
-                    alphaL=aL, alphaR=aR, betaL=bL, betaR=bR,
-                    SVL=SVL, SVR=SVR, SML=SML, SMR=SMR,
-                    hatSXL=hatSXL, hatSXR=hatSXR, err=err,
-                )
-            else:
-                since += 1
-            if since == cfg.patient_iters:
-                break
-        return best
+    def _stereo_fit_loop(self, SXL, SXR, *state0):
+        def iterate(state):
+            new_state, _, err = self._stereo_iteration(SXL, SXR, *state)
+            return new_state, err
+
+        best_state, best_err, it = self._keep_best_while(iterate, tuple(state0))
+        # recompute the aux spectra from the final factors (the same
+        # expressions as the stereo iteration tail)
+        HGAMMA, HPHI, HF0, WM, HM, alphaL, alphaR, betaL, betaR = best_state
+        WGAMMA = jnp.asarray(self.WGAMMA)
+        WF0 = jnp.asarray(self.WF0)
+        WPHI = WGAMMA @ HGAMMA
+        SPHI = WPHI @ HPHI
+        SF0 = WF0 @ HF0
+        betaL2, betaR2 = betaL**2, betaR**2
+        SVL = (alphaL**2 * SPHI) * SF0
+        SVR = (alphaR**2 * SPHI) * SF0
+        SML = (WM * betaL2[None, :]) @ HM
+        SMR = (WM * betaR2[None, :]) @ HM
+        hatSXL, hatSXR = SVL + SML, SVR + SMR
+        aux = (SVL, SVR, SML, SMR, hatSXL, hatSXR)
+        return best_state, aux, best_err, it
 
     def separate_stereo(self, XL, XR, stereo_result: dict):
         """Wiener-mask separation + ISTFT resynthesis: complex spectra
