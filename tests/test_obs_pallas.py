@@ -19,9 +19,18 @@ def reference_log_obs(logits, th, spw, n_bins, P):
     return out
 
 
-def test_fused_obs_matches_xla_path(rng):
-    n_bins, spw, P = 360, 5, 384
-    N, T = 8, 64
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n_bins,spw,P,N,T",
+    [
+        (360, 5, 384, 8, 64),   # tonet config
+        (721, 16, 768, 8, 32),  # jdc config (20+721+20 fits 768 for imm too)
+    ],
+    ids=["tonet-360", "jdc-721"],
+)
+def test_fused_obs_matches_xla_path(rng, n_bins, spw, P, N, T):
     th = 0.3
     logits = rng.normal(-2, 1, (N, T, n_bins)).astype(np.float32)
     logits[0, :, :] = rng.integers(0, 3, (T, n_bins))  # tie-heavy track

@@ -57,6 +57,18 @@ def pad_logits_reflect(logits: jnp.ndarray, spw: int, P: int) -> jnp.ndarray:
     )
 
 
+def _window_max(x, w: int, P: int, neg: bool):
+    """max over pltpu.roll(x, j, 2) for j in 0..w-1 (neg: j in -(w-1)..0),
+    built by shift doubling: ceil(log2(w))-ish roll+max steps instead of w.
+    Exact — the same cyclic roll set reduces under associative fp max."""
+    m, k = x, 1
+    while k < w:
+        s = min(k, w - k)
+        m = jnp.maximum(m, pltpu.roll(m, (P - s) if neg else s, 2))
+        k += s
+    return m
+
+
 def _make_obs_kernel(n_bins: int, spw: int, N: int, P: int):
     LOG_TINY_ADD = TINY  # added before the log, as in the jnp path
 
@@ -70,13 +82,10 @@ def _make_obs_kernel(n_bins: int, spw: int, N: int, P: int):
         lane = jax.lax.broadcasted_iota(jnp.int32, (N, L, P), 2)
         data = jnp.logical_and(lane >= spw, lane < spw + n_bins)
 
-        # windowed maxima over the reflect-padded lane layout
-        left = pltpu.roll(x, 1, 2)
-        for j in range(2, spw + 1):
-            left = jnp.maximum(left, pltpu.roll(x, j, 2))
-        right = pltpu.roll(x, P - 1, 2)
-        for j in range(2, spw + 1):
-            right = jnp.maximum(right, pltpu.roll(x, P - j, 2))
+        # windowed maxima over the reflect-padded lane layout:
+        # left = max over rolls 1..spw, right = max over rolls -1..-spw
+        left = pltpu.roll(_window_max(x, spw, P, neg=False), 1, 2)
+        right = pltpu.roll(_window_max(x, spw, P, neg=True), P - 1, 2)
         is_peak = jnp.logical_and(data, jnp.logical_and(x > left, x >= right))
 
         peak_vals = jnp.where(is_peak, x, NEG_PAD)
