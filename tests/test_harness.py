@@ -182,3 +182,30 @@ def test_piano_roll_figure(tmp_path, rng):
     out = tmp_path / "roll.png"
     piano_roll_figure(out, notes, notes, v, notes, v, title="test")
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_reporter_tensorboard_mirror(tmp_path):
+    """Reporter(tensorboard=True) mirrors scalars/tables into TensorBoard
+    event files (the reference's TBSummary surface, SURVEY.md §5)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from viterbi_spl_tpu.harness.reporting import Reporter
+
+    rep = Reporter(tmp_path, tensorboard=True)
+    rep.scalar("val_oa", 0.75, step=3)
+    rep.text("note", "hello **table**", step=0)
+
+    event_files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert event_files, "no TensorBoard event files written"
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    assert "val_oa" in acc.Tags()["scalars"]
+    ev = acc.Scalars("val_oa")[0]
+    assert ev.step == 3 and abs(ev.value - 0.75) < 1e-6
+    # JSONL log still written alongside
+    kinds = [e["kind"] for e in rep.read_events()]
+    assert kinds == ["scalar", "text"]

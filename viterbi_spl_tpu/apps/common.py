@@ -249,6 +249,9 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     ap.add_argument("--hard-threshold", type=float, default=0.5,
                     help="fixed threshold for hard-vs-auto mode")
     ap.add_argument("--log-dir", default=None)
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="mirror --log-dir scalars/tables into TensorBoard "
+                         "event files (the reference's TBSummary surface)")
     ap.add_argument("--dump-tracks", default=None,
                     help="directory for per-track piano-roll figures + npz "
                          "dumps (the dcnet/lontano.py analysis outputs)")
@@ -337,7 +340,7 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
         if args.log_dir:
             from .. harness.reporting import Reporter
 
-            reporter = Reporter(args.log_dir)
+            reporter = Reporter(args.log_dir, tensorboard=args.tensorboard)
 
         def on_epoch_end(st, info):
             if reporter is not None:
@@ -371,7 +374,7 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     if args.log_dir:
         from ..harness.reporting import Reporter
 
-        reporter = Reporter(args.log_dir)
+        reporter = Reporter(args.log_dir, tensorboard=args.tensorboard)
     for split in ("validation", "test"):
         out = run_inference(cfg, model, state, datasets[split], setup)
         print(

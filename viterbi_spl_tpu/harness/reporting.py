@@ -38,18 +38,36 @@ def metrics_markdown_table(
 
 
 class Reporter:
-    """Append-only JSONL event log + artifact directory."""
+    """Append-only JSONL event log + artifact directory.
 
-    def __init__(self, log_dir: str | Path):
+    With tensorboard=True, every scalar/text event is mirrored into
+    TensorBoard event files in the same directory (via
+    torch.utils.tensorboard — no TF dependency), reproducing the
+    reference's TBSummary surface: tf.summary.scalar for loss/oa/
+    voicing_threshold and tf.summary.text markdown metric tables
+    (dcnet/softmax_viterbi.py:3232-3355)."""
+
+    def __init__(self, log_dir: str | Path, tensorboard: bool = False):
         self.dir = Path(log_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self._events = self.dir / "events.jsonl"
+        self._tb = None
+        if tensorboard:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir=str(self.dir))
 
     def scalar(self, tag: str, value: float, step: int) -> None:
         self._write(dict(kind="scalar", tag=tag, value=float(value), step=step))
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+            self._tb.flush()
 
     def text(self, tag: str, text: str, step: int = 0) -> None:
         self._write(dict(kind="text", tag=tag, text=text, step=step))
+        if self._tb is not None:
+            self._tb.add_text(tag, text, step)
+            self._tb.flush()
 
     def table(self, tag: str, results: dict, rec_names: list[str], step: int = 0):
         self.text(tag, metrics_markdown_table(results, rec_names), step)
