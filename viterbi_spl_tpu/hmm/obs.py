@@ -43,13 +43,18 @@ def find_peaks(logits: jnp.ndarray, spw: int) -> jnp.ndarray:
     # Windowed first-argmax == spw without materializing the [T, n_bins, w]
     # window tensor (it OOMs at serving batch sizes): the centre is the
     # window's FIRST maximum iff it is strictly greater than every entry to
-    # its left and >= every entry to its right.
-    left = padded[:, 0:n_bins]
-    for j in range(1, spw):
-        left = jnp.maximum(left, padded[:, j : j + n_bins])
-    right = padded[:, spw + 1 : spw + 1 + n_bins]
-    for j in range(spw + 2, 2 * spw + 1):
-        right = jnp.maximum(right, padded[:, j : j + n_bins])
+    # its left and >= every entry to its right. Both side maxima are slices
+    # of ONE running window-max of width spw, built by shift doubling —
+    # ceil(log2(spw)) maximum passes instead of 2*(spw-1), bit-identical
+    # (the same elements reduce under associative, exact fp max).
+    m, k = padded, 1
+    while k < spw:
+        s = min(k, spw - k)
+        m = jnp.maximum(m[:, : m.shape[1] - s], m[:, s:])
+        k += s
+    # m[i] = max(padded[i .. i+spw-1])
+    left = m[:, 0:n_bins]
+    right = m[:, spw + 1 : spw + 1 + n_bins]
     return (logits > left) & (logits >= right)
 
 
