@@ -211,10 +211,55 @@ def test_device_fit_matches_host_patience_loop(rng, imm_small):
         if since == cfg.patient_iters:
             break
 
-    assert got["err"] == pytest.approx(best["err"], rel=1e-5)
+    # tolerances: the while_loop body and the standalone _iter_fn jit may be
+    # fused/reassociated differently by XLA, and ulp differences compound
+    # through 12 multiplicative sweeps — these pin semantics, not bit-ness
+    assert got["err"] == pytest.approx(best["err"], rel=1e-4)
     for k, v in zip(("HGAMMA", "HPHI", "HF0", "WM", "HM"), best["state"]):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(v),
-                                   rtol=1e-4, atol=1e-7, err_msg=k)
+                                   rtol=1e-3, atol=1e-6, err_msg=k)
     for k, v in zip(("WPHI", "SPHI", "SF0", "SV", "SM", "hatSX"), best["aux"]):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(v),
-                                   rtol=1e-3, atol=1e-6, err_msg=k)
+                                   rtol=3e-3, atol=1e-6, err_msg=k)
+
+
+def test_aux_from_state_matches_iteration_tail(rng, imm_small):
+    """The fit loops recompute the aux spectra from the winning factors via
+    _aux_from_state/_stereo_aux_from_state; those helpers must track the
+    expressions the iteration tails assemble (drift here would silently
+    corrupt energies_for_f0s/voicing_detection/separate_stereo inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = imm_small.config
+    y = synth(rng, 44100 // 8)
+    SX = jnp.asarray(np.abs(np.asarray(imm_small.stft.stft(y))) ** 2).T
+    N = SX.shape[1]
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    state = (
+        jnp.abs(jax.random.normal(ks[0], (cfg.P, cfg.K))),
+        jnp.abs(jax.random.normal(ks[1], (cfg.K, N))),
+        jnp.abs(jax.random.normal(ks[2], (cfg.U, N))),
+        jnp.abs(jax.random.normal(ks[3], (cfg.F, cfg.R))),
+        jnp.abs(jax.random.normal(ks[4], (cfg.R, N))),
+    )
+    new_state, aux, _ = imm_small._iteration(SX, *state)
+    recomputed = imm_small._aux_from_state(*new_state)
+    for got, want, name in zip(
+        recomputed, aux, ("WPHI", "SPHI", "SF0", "SV", "SM", "hatSX")
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-8, err_msg=name)
+
+    stereo_state = state + (
+        jnp.float32(0.6), jnp.float32(0.4),
+        jnp.abs(jax.random.normal(ks[0], (cfg.R,))),
+        jnp.abs(jax.random.normal(ks[1], (cfg.R,))),
+    )
+    new_state, aux, _ = imm_small._stereo_iteration(SX, SX * 0.8, *stereo_state)
+    recomputed = imm_small._stereo_aux_from_state(*new_state)
+    for got, want, name in zip(
+        recomputed, aux, ("SVL", "SVR", "SML", "SMR", "hatSXL", "hatSXR")
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-8, err_msg=name)

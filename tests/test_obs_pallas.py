@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from viterbi_spl_tpu.hmm.obs import shaun_observation_probs
 from viterbi_spl_tpu.hmm.obs_pallas import (
@@ -17,9 +18,6 @@ def reference_log_obs(logits, th, spw, n_bins, P):
     out = np.full((logits.shape[0], P), NEG_PAD, np.float32)
     out[:, : n_bins + 1] = log_obs
     return out
-
-
-import pytest
 
 
 @pytest.mark.parametrize(

@@ -354,6 +354,8 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
             state, batches(), steps, resume=args.resume,
             on_epoch_end=on_epoch_end,
         )
+        if reporter is not None:
+            reporter.close()
         print(f"best val OA {state.best_oa:.4f} @ epoch {state.best_epoch}, "
               f"threshold {state.voicing_threshold:.2f}")
         return state
@@ -388,6 +390,8 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
         if args.dump_tracks and split == "test":
             dump_analysis_tracks(cfg, model, state, datasets[split], setup,
                                  args.dump_tracks)
+    if reporter is not None:
+        reporter.close()
     return state
 
 

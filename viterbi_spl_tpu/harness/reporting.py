@@ -83,6 +83,19 @@ class Reporter:
         with open(self._events) as fh:
             return [json.loads(line) for line in fh]
 
+    def close(self) -> None:
+        """Release the TensorBoard writer (file handle + async thread).
+        The JSONL log needs no teardown (opened per write)."""
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
 
 def piano_roll_figure(
     path: str | Path,

@@ -248,17 +248,10 @@ class IMM:
         it, _, _, _, (best_state, best_err) = jax.lax.while_loop(cond, body, init)
         return best_state, best_err, it
 
-    def _fit_loop(self, SX, HGAMMA, HPHI, HF0, WM, HM):
-        def iterate(state):
-            new_state, _, err = self._iteration(SX, *state)
-            return new_state, err
-
-        best_state, best_err, it = self._keep_best_while(
-            iterate, (HGAMMA, HPHI, HF0, WM, HM)
-        )
-        # the aux spectra are pure functions of the final factors — the same
-        # expressions the iteration tail evaluates (see _iteration)
-        HGAMMA, HPHI, HF0, WM, HM = best_state
+    def _aux_from_state(self, HGAMMA, HPHI, HF0, WM, HM):
+        """The mono aux spectra as pure functions of the factors — the same
+        expressions the _iteration tail assembles incrementally (asserted
+        equal in tests, so the two cannot drift apart silently)."""
         WGAMMA = jnp.asarray(self.WGAMMA)
         WF0 = jnp.asarray(self.WF0)
         WPHI = WGAMMA @ HGAMMA
@@ -267,7 +260,17 @@ class IMM:
         SM = WM @ HM
         SV = SPHI * SF0
         hatSX = SV + SM
-        return best_state, (WPHI, SPHI, SF0, SV, SM, hatSX), best_err, it
+        return WPHI, SPHI, SF0, SV, SM, hatSX
+
+    def _fit_loop(self, SX, HGAMMA, HPHI, HF0, WM, HM):
+        def iterate(state):
+            new_state, _, err = self._iteration(SX, *state)
+            return new_state, err
+
+        best_state, best_err, it = self._keep_best_while(
+            iterate, (HGAMMA, HPHI, HF0, WM, HM)
+        )
+        return best_state, self._aux_from_state(*best_state), best_err, it
 
     def fit(self, SX, seed: int = 0) -> dict:
         """Run the NMF on a power spectrogram SX [N, F] (time-major, as the
@@ -455,15 +458,12 @@ class IMM:
             hatSXL=hatSXL, hatSXR=hatSXR, err=float(err),
         )
 
-    def _stereo_fit_loop(self, SXL, SXR, *state0):
-        def iterate(state):
-            new_state, _, err = self._stereo_iteration(SXL, SXR, *state)
-            return new_state, err
-
-        best_state, best_err, it = self._keep_best_while(iterate, tuple(state0))
-        # recompute the aux spectra from the final factors (the same
-        # expressions as the stereo iteration tail)
-        HGAMMA, HPHI, HF0, WM, HM, alphaL, alphaR, betaL, betaR = best_state
+    def _stereo_aux_from_state(
+        self, HGAMMA, HPHI, HF0, WM, HM, alphaL, alphaR, betaL, betaR
+    ):
+        """The stereo aux spectra as pure functions of the factors — the
+        same expressions the _stereo_iteration tail assembles (asserted
+        equal in tests)."""
         WGAMMA = jnp.asarray(self.WGAMMA)
         WF0 = jnp.asarray(self.WF0)
         WPHI = WGAMMA @ HGAMMA
@@ -474,9 +474,15 @@ class IMM:
         SVR = (alphaR**2 * SPHI) * SF0
         SML = (WM * betaL2[None, :]) @ HM
         SMR = (WM * betaR2[None, :]) @ HM
-        hatSXL, hatSXR = SVL + SML, SVR + SMR
-        aux = (SVL, SVR, SML, SMR, hatSXL, hatSXR)
-        return best_state, aux, best_err, it
+        return SVL, SVR, SML, SMR, SVL + SML, SVR + SMR
+
+    def _stereo_fit_loop(self, SXL, SXR, *state0):
+        def iterate(state):
+            new_state, _, err = self._stereo_iteration(SXL, SXR, *state)
+            return new_state, err
+
+        best_state, best_err, it = self._keep_best_while(iterate, tuple(state0))
+        return best_state, self._stereo_aux_from_state(*best_state), best_err, it
 
     def separate_stereo(self, XL, XR, stereo_result: dict):
         """Wiener-mask separation + ISTFT resynthesis: complex spectra

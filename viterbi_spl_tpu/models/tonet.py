@@ -187,7 +187,7 @@ class CombineLayer(nn.Module):
         attn = attn / jnp.sqrt(jnp.float32(d_k))
         attn = nn.softmax(attn, axis=-1)
         attn = nn.Dropout(0.1, deterministic=not train)(attn).astype(dt)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(dt)).reshape(B, T, -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, -1)
         out = nn.Dense(self.d_model, use_bias=False, dtype=dt, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         x = out.astype(jnp.float32) + residual
