@@ -169,6 +169,47 @@ def main():
         detail["dense_batch16_fps"] = round(fps_dense, 1)
         detail["single_track_fps"] = round(fps_single, 1)
 
+        # end-to-end serving: raw logits -> fused Pallas shaun observation
+        # kernel -> banded decode, all on-chip (the --fused-obs CLI path)
+        from viterbi_spl_tpu.hmm.obs_pallas import (
+            pad_logits_reflect,
+            shaun_log_obs_pallas,
+        )
+
+        T_SRV = 1 << 13  # logits + log-obs + t1m1 all resident
+        spw = 5
+        raw_logits = jax.random.normal(
+            jax.random.PRNGKey(2), (N, T_SRV, n_bins), jnp.float32
+        ) - 2.0
+        padded = jnp.asarray(
+            pad_logits_reflect(raw_logits, spw, P)
+        ).block_until_ready()
+        lens_srv = jnp.full((N,), T_SRV, jnp.int32)
+
+        @jax.jit
+        def serve(pl_in, l):
+            log_obs = shaun_log_obs_pallas(
+                pl_in, n_bins, spw, 0.0, block_frames=32, interpret=False
+            )
+            t1, t1m1 = viterbi_forward_pallas_banded_batch(
+                bstruct, log_pi_d, log_obs, l, block_frames=BLOCK,
+                interpret=False,
+            )
+            last = jnp.argmax(t1, axis=1).astype(jnp.int32)
+            return viterbi_backtrace_pallas_batch(
+                t1m1, log_B_d, last, l, block_frames=BLOCK, interpret=False
+            )
+
+        _ = int(jnp.sum(serve(padded, lens_srv) % 7))
+
+        def timed_srv():
+            t0 = time.perf_counter()
+            for _ in range(5):
+                _ = int(jnp.sum(serve(padded, lens_srv) % 7))
+            return N * T_SRV / ((time.perf_counter() - t0) / 5)
+
+        detail["serving_fused_obs_decode_fps"] = round(timed_srv(), 1)
+
     result = {
         "metric": "viterbi_decode_frames_per_sec_per_chip_361bins",
         "value": round(fps_banded, 1),
