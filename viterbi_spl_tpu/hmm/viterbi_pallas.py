@@ -649,7 +649,11 @@ def viterbi_decode_batch_pallas_logobs(
             log_B_d, jnp.asarray(log_pi), log_obs_batch, lengths,
             block_frames=block_frames, interpret=interpret,
         )
-    last_states = np.argmax(np.asarray(t1_last)[:, :S], axis=1).astype(np.int32)
+    # first-max argmax on device (jnp.argmax picks the first maximum, like
+    # np.argmax); slicing to [:S] excludes the NEG_PAD lanes. Keeping this
+    # on device avoids a host round trip between the forward and backtrace
+    # kernels (~20 ms through the async TPU host per batch).
+    last_states = jnp.argmax(t1_last[:, :S], axis=1).astype(jnp.int32)
     return viterbi_backtrace_pallas_batch(
         t1m1, log_B_d, last_states, lengths,
         block_frames=block_frames, interpret=interpret,
