@@ -101,3 +101,23 @@ def test_decode_cli_skip_existing(tmp_path, rng, capsys):
     assert (tmp_path / "txt" / "track0.txt").stat().st_mtime_ns == t0_mtime
     for i in range(3):
         assert (tmp_path / "txt" / f"track{i}.txt").exists()
+
+
+def test_decode_cli_fused_obs_matches_default(tmp_path, rng):
+    """--fused-obs (the Pallas serving path) must produce the same melody
+    lines as the default path on clear-signal tracks — the documented
+    tolerance is ulp-level in the observation values, which only moves
+    decode outcomes on razor-edge ties that strong peaks don't have."""
+    from viterbi_spl_tpu.cli import decode as D
+
+    art, paths = _prepare(tmp_path, rng)
+    base = ["--family", "tonet", "--artifacts", str(tmp_path / "hmm"),
+            "--format", "npz", "--batch", "2"]
+    D.main([str(p) for p in paths] + base + ["--out", str(tmp_path / "a")])
+    D.main([str(p) for p in paths] + base
+           + ["--out", str(tmp_path / "b"), "--fused-obs"])
+    for i in range(3):
+        a = np.load(tmp_path / "a" / f"track{i}.npz")
+        b = np.load(tmp_path / "b" / f"track{i}.npz")
+        np.testing.assert_array_equal(a["voiced"], b["voiced"])
+        np.testing.assert_array_equal(a["bins"], b["bins"])
