@@ -46,7 +46,7 @@ def _tiny_trainer(tmp_path, target_w=3.0):
     tx = optax.sgd(0.1)
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, batch):
+    def train_step(params, batch_stats, opt_state, batch, step):
         x, y = batch
 
         def loss_fn(p):
@@ -101,6 +101,45 @@ def test_training_resume(tmp_path):
     trainer2.max_epochs = state.epoch + 2
     resumed = trainer2.fit(state2, batches2, steps_per_epoch=1, resume=True)
     assert resumed.best_oa >= state.best_oa - 1e-6
+
+
+def test_train_step_dropout_rng_varies_per_step():
+    """The app train step must draw FRESH dropout masks every step (the
+    reference trains with stochastic dropout, dcnet/softmax_viterbi.py:
+    3399-3434); round 1 reused PRNGKey(1) at every step."""
+    import flax.linen as nn
+    import optax
+
+    from viterbi_spl_tpu.apps.common import AppConfig, make_train_step
+
+    class DropNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            w = self.param("w", nn.initializers.ones, (1,))
+            y = nn.BatchNorm(use_running_average=not train)(x * w)
+            return nn.Dropout(0.5, deterministic=not train)(y)
+
+    model = DropNet()
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(8, 64)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = optax.sgd(0.0)  # lr 0: the loss value depends only on the mask
+    cfg = AppConfig(
+        family=None, make_model=None,
+        loss_fn=lambda notes, out: jnp.sum(out * notes),
+        logits_adapter=None, snippet_len=64, batch_size=1,
+        learning_rate=0.0, feature_shape=(64,),
+    )
+    step_fn = make_train_step(cfg, model, tx)
+    params, bs = variables["params"], variables["batch_stats"]
+    opt = tx.init(params)
+    notes = jnp.linspace(0.5, 1.5, 8 * 64).reshape(8, 64)
+    losses = [
+        float(step_fn(params, bs, opt, (x, notes), s)[3]) for s in (0, 1, 0)
+    ]
+    assert losses[0] != losses[1], "dropout mask identical across steps"
+    assert losses[0] == losses[2], "dropout mask not reproducible per step"
 
 
 def test_weight_decay_and_l2():

@@ -106,17 +106,20 @@ def init_model(cfg: AppConfig, sample_batch: np.ndarray):
 
 def make_train_step(cfg: AppConfig, model, tx):
     @jax.jit
-    def train_step(params, batch_stats, opt_state, batch):
+    def train_step(params, batch_stats, opt_state, batch, step):
         spec, notes = batch
         if cfg.input_adapter is not None:
             spec = cfg.input_adapter(spec)
+        # fresh dropout masks every step (the reference trains with
+        # stochastic dropout, dcnet/softmax_viterbi.py:3399-3434)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(1), step)
 
         def loss(p):
             out, upd = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 spec,
                 train=True,
-                rngs={"dropout": jax.random.PRNGKey(1)},
+                rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
             )
             return cfg.loss_fn(notes, out), upd["batch_stats"]
@@ -315,8 +318,9 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
 
             def batches():
                 for spec, notes in prefetcher:
-                    # jnp.asarray copies to device before the ring slot is
-                    # recycled on the next iteration
+                    # the prefetcher yields owned copies (ring slots are
+                    # released before yield), so the async H2D transfer
+                    # can complete at its own pace
                     yield jnp.asarray(spec), jnp.asarray(notes)
         else:
             snippets = training_snippets(

@@ -42,10 +42,7 @@ def synthetic_tracks(
         if keep_fits:
             SX = np.abs(np.asarray(imm.stft.stft(y))) ** 2
             fit = imm.fit(SX, seed=seed)
-            energies = imm.energies_for_f0s(fit, SX)
-            hw = (imm.config.w // 2) ** 2
-            energies = np.maximum(energies / float(hw), 1e-11)
-            logits_un = (np.log10(energies) + 6.0).astype(np.float32)
+            logits_un = imm.logits_from_fit(fit, SX)
         else:
             SX = fit = None
             logits_un = imm.logits(y, seed=seed)

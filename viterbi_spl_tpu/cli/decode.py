@@ -59,6 +59,16 @@ def build_setup(args) -> DecoderSetup:
             f"transition matrix {A.shape} does not match family "
             f"{spec.name} ({spec.n_bins + 1} states)"
         )
+    # the family carries the threshold domain: imm thresholds are
+    # log-energies (imm/thresholding.py:80), everything else probabilities
+    threshold = args.threshold
+    if threshold is None:
+        threshold = spec.voicing_threshold
+    elif not spec.threshold_is_logit and not (0.0 < threshold < 1.0):
+        raise ValueError(
+            f"--threshold {threshold} must be a probability in (0, 1) for "
+            f"family {spec.name}"
+        )
     return DecoderSetup(
         transition_matrix=A,
         init_probs=pi,
@@ -66,9 +76,11 @@ def build_setup(args) -> DecoderSetup:
         note_min=spec.note_min,
         bins_per_semitone=spec.bins_per_semitone,
         spw=spec.spw,
-        voicing_threshold=args.threshold,
+        voicing_threshold=threshold,
         hop_seconds=spec.hop_seconds,
         method=args.method,
+        threshold_is_logit=spec.threshold_is_logit,
+        interp_est_notes=spec.interp_est_notes,
         fused_obs=getattr(args, "fused_obs", False),
     )
 
@@ -85,13 +97,21 @@ def decode_files(setup: DecoderSetup, paths, args, write=True) -> list[dict]:
         logits_list = [load_logits(p, args.transposed) for p in group]
         decoded = setup.decode_batch(logits_list)
         for path, logits, (voiced, bins) in zip(group, logits_list, decoded):
-            probs = np.asarray(jax.nn.sigmoid(np.asarray(logits)))
-            est_notes = np.asarray(
-                est_notes_interp(
-                    bins.astype(np.int32), probs, setup.note_min,
-                    setup.bins_per_semitone, setup.n_bins,
+            if setup.interp_est_notes:
+                probs = np.asarray(jax.nn.sigmoid(np.asarray(logits)))
+                est_notes = np.asarray(
+                    est_notes_interp(
+                        bins.astype(np.int32), probs, setup.note_min,
+                        setup.bins_per_semitone, setup.n_bins,
+                    )
                 )
-            )
+            else:
+                # jdc convention: direct bin -> note grid mapping
+                # (jdc/viterbi_softmax.py:2443-2470)
+                grid = setup.note_min + np.arange(setup.n_bins) / setup.bins_per_semitone
+                est_notes = grid[np.minimum(bins, setup.n_bins - 1)].astype(
+                    np.float32
+                )
             signed = np.where(voiced, est_notes, -est_notes)
             freqs = est_notes_with_voicing_to_hz(signed, min_note=setup.note_min)
             times = np.arange(len(freqs)) * setup.hop_seconds
@@ -128,7 +148,10 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--method", default="shaun",
                     choices=list(ALLOWED_VITERBI_METHODS))
-    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="voicing threshold; defaults to the family's "
+                         "validated value (probability, or log-energy for "
+                         "imm)")
     ap.add_argument("--batch", type=int, default=64,
                     help="tracks decoded together per kernel launch")
     ap.add_argument("--format", default="txt", choices=["txt", "npz"])

@@ -49,6 +49,11 @@ class FamilySpec:
     bins_per_semitone: float
     note_range: np.ndarray
     logits_need_rereference: bool = False  # softmax-head models
+    # imm thresholds in the log-energy domain (imm/thresholding.py:80)
+    threshold_is_logit: bool = False
+    # jdc maps decoded bins to notes directly, without the +/-1-bin
+    # probability interpolation (jdc/viterbi_softmax.py:2443-2470)
+    interp_est_notes: bool = True
 
     @property
     def note_min(self) -> float:
@@ -70,7 +75,8 @@ def _spec(name) -> FamilySpec:
                           _msnet_note_range(), logits_need_rereference=True)
     if name == "jdc":
         return FamilySpec("jdc", 721, h10ms, 16, 40, 2, 0.34, 16,
-                          JDC_NOTE_RANGE, logits_need_rereference=True)
+                          JDC_NOTE_RANGE, logits_need_rereference=True,
+                          interp_est_notes=False)
     if name == "tonet":
         return FamilySpec("tonet", 360, h10ms, 5,
                           single_side_d_max(0.01, 60), 2, 0.32, 5,
@@ -81,7 +87,8 @@ def _spec(name) -> FamilySpec:
 
         f0s, _ = gen_WF0(IMMConfig())
         return FamilySpec("imm", 721, h256, 20, None, None, 2.442347, 20,
-                          hz_to_midi(f0s).astype(np.float32))
+                          hz_to_midi(f0s).astype(np.float32),
+                          threshold_is_logit=True)
     raise KeyError(f"unknown family {name}")
 
 

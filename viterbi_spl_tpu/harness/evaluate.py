@@ -74,6 +74,11 @@ class DecoderSetup:
     def __post_init__(self):
         if self.method not in ALLOWED_VITERBI_METHODS:
             raise ValueError(f"unknown viterbi method {self.method}")
+        if self.fused_obs and self.method != "shaun":
+            raise ValueError(
+                f"fused_obs is only implemented for the shaun observation "
+                f"model (hmm/obs_pallas.py), not method={self.method!r}"
+            )
         self._log_B, self._log_pi = prepare_log_params(
             self.transition_matrix, self.init_probs
         )

@@ -34,6 +34,7 @@ class TrainState:
     epoch: int = 0
     best_oa: float = -1.0
     best_epoch: int = -1
+    step: int = 0  # global train-step counter (drives the dropout RNG)
 
     def as_pytree(self) -> dict:
         return dict(
@@ -45,6 +46,7 @@ class TrainState:
                 epoch=np.asarray(self.epoch, np.int32),
                 best_oa=np.asarray(self.best_oa, np.float32),
                 best_epoch=np.asarray(self.best_epoch, np.int32),
+                step=np.asarray(self.step, np.int32),
             ),
         )
 
@@ -58,14 +60,18 @@ class TrainState:
             epoch=int(s["epoch"]),
             best_oa=float(s["best_oa"]),
             best_epoch=int(s["best_epoch"]),
+            step=int(s["step"]),
         )
 
 
 class Trainer:
     """Epoch driver.
 
-    train_step(state_tuple, batch) -> (new_params, new_batch_stats,
-        new_opt_state, loss) — jitted by the caller.
+    train_step(params, batch_stats, opt_state, batch, step) ->
+        (new_params, new_batch_stats, new_opt_state, loss) — jitted by the
+        caller; `step` is the global step counter (fold it into the dropout
+        RNG so every step draws fresh masks, matching the reference's
+        stochastic dropout, dcnet/softmax_viterbi.py:3399-3434).
     validate(state) -> dict with at least {"oa": float,
         "voicing_threshold": float} (from MelodyMetrics.validation_grid).
     """
@@ -107,8 +113,10 @@ class Trainer:
         for _ in range(steps):
             batch = next(batches)
             state.params, state.batch_stats, state.opt_state, loss = self.train_step(
-                state.params, state.batch_stats, state.opt_state, batch
+                state.params, state.batch_stats, state.opt_state, batch,
+                state.step,
             )
+            state.step += 1
             losses.append(loss)
         mean_loss = float(np.mean([float(l) for l in losses]))
         return state, mean_loss

@@ -529,15 +529,21 @@ class IMM:
         E = (WF0sq.T @ G) * result["HF0"] ** 2
         return np.asarray(E, np.float32)
 
+    def logits_from_fit(self, result: dict, SX) -> np.ndarray:
+        """Fit + power spectrogram -> log10 Wiener energies + 6, [U, N]
+        (the tail of imm/tf_imm.py:659-678). Shared by `logits` and any
+        caller that keeps the fit around (e.g. the 'original' evaluation)."""
+        energies = self.energies_for_f0s(result, SX)
+        hw = (self.config.w // 2) ** 2
+        energies = np.maximum(energies / float(hw), 1e-11)
+        return (np.log10(energies) + 6.0).astype(np.float32)
+
     def logits(self, samples: np.ndarray, seed: int = 0) -> np.ndarray:
         """Full per-track chain: samples -> log10 Wiener energies + 6,
         [U, N] (imm/tf_imm.py:659-678)."""
         SX = np.abs(np.asarray(self.stft.stft(samples))) ** 2
         result = self.fit(SX, seed=seed)
-        energies = self.energies_for_f0s(result, SX)
-        hw = (self.config.w // 2) ** 2
-        energies = np.maximum(energies / float(hw), 1e-11)
-        return (np.log10(energies) + 6.0).astype(np.float32)
+        return self.logits_from_fit(result, SX)
 
     def process_HF0(self, HF0: np.ndarray) -> np.ndarray:
         """HF0 -> log observations for the "original" decode: floor at the

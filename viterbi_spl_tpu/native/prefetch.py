@@ -46,10 +46,16 @@ def _ring_lib():
 class SnippetPrefetcher:
     """Infinite stream of (spectrogram [B, L, ...], notes [B, L]) batches.
 
-    The yielded arrays are zero-copy views into a ring slot; they are valid
-    until the NEXT batch is requested (hand them to jnp.asarray / np.copy
-    before advancing). `python_reference_batches` reproduces the exact
-    stream in pure Python for testing.
+    By default each batch is copied out of its ring slot before the slot is
+    released (one contiguous memcpy — the ring's win is the GIL-free
+    scatter-gather of snippets on worker threads, not this copy). With
+    zero_copy=True the yielded arrays are views into the ring slot and stay
+    valid only until the NEXT batch is requested; the consumer must fully
+    read them (np.copy, or jax.block_until_ready on the device transfer —
+    jnp.asarray alone is NOT enough: TPU H2D is async and the CPU backend
+    may alias aligned host buffers) before advancing.
+    `python_reference_batches` reproduces the exact stream in pure Python
+    for testing.
     """
 
     def __init__(
@@ -61,7 +67,9 @@ class SnippetPrefetcher:
         *,
         slots: int = 4,
         threads: int = 2,
+        zero_copy: bool = False,
     ):
+        self._zero_copy = zero_copy
         self.snippet_len = snippet_len
         self.batch_size = batch_size
         self._rng = rng
@@ -138,6 +146,12 @@ class SnippetPrefetcher:
             arr = np.frombuffer(buf, np.float32)
             spec = arr[: self._spec_bytes // 4].reshape(self._spec_shape)
             notes = arr[self._spec_bytes // 4 :].reshape(self._notes_shape)
+            if not self._zero_copy:
+                # own the data before the slot can be refilled by a worker
+                spec, notes = spec.copy(), notes.copy()
+                self._lib.ring_release(self._ring, ptr)
+                yield spec, notes
+                continue
             if held_ptr is not None:
                 self._lib.ring_release(self._ring, held_ptr)
             held_ptr = ptr
