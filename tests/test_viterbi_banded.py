@@ -70,8 +70,14 @@ def test_banded_forward_bitwise_equals_dense(rng):
     t1_b, t1m1_b = viterbi_forward_pallas_banded_batch(
         bs, jnp.asarray(log_pi), jnp.asarray(log_obs), lens, block_frames=32
     )
-    np.testing.assert_array_equal(np.asarray(t1_d), np.asarray(t1_b))
-    np.testing.assert_array_equal(np.asarray(t1m1_d), np.asarray(t1m1_b))
+    # bit-identical on the real state lanes; pad lanes (>= S) hold garbage
+    # by contract (they can never win an argmax: obs pads are -1e30)
+    np.testing.assert_array_equal(
+        np.asarray(t1_d)[:, :S], np.asarray(t1_b)[:, :S]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t1m1_d)[:, :, :S], np.asarray(t1m1_b)[:, :, :S]
+    )
 
 
 def test_banded_decode_matches_oracle(rng):

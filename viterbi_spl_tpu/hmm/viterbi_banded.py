@@ -24,6 +24,17 @@ max. Work per frame drops from O(P^2) to O(P (2 d_max + 1)) — while the
 forward values stay bit-identical to the dense kernel, so the backtrace
 yields bit-identical paths.
 
+Source-profile classes (the v4 formulation, see extract_band_classes)
+shrink the in-band work further: because the shaping pipeline pools counts
+by |d| and row-normalizes, log A[x, x-d] as a function of the SOURCE x is
+the SAME f32 vector for many offsets d. One pre-added vector
+h[x] = fl(T1[x] + profile[x]) then serves a whole class of offsets via
+lane rolls, and a class whose profile is pointwise-dominated by every
+offset between its extremes collapses into a single O(log w)
+shift-doubling window max (each window element is either the exact dense
+sum for its offset, or a value <= the true candidate another class
+computes — so the overall max is unchanged, bitwise).
+
 Negative result (measured on v5e, kept for the record): a "banded
 backtrace" that reconstructs FULL backpointer rows per frame from the
 banded structure (exact, frame-parallel) is ~3x SLOWER than the dense
@@ -36,6 +47,8 @@ production pair for this forward.
 `extract_banded_structure` validates the structure on the host and returns
 None when it does not hold (imm's analytic matrix, random test matrices),
 in which case callers fall back to the dense kernel.
+
+Reference semantics anchor: dcnet/tf_viterbi_decoding.py:156-207.
 """
 
 from __future__ import annotations
@@ -53,6 +66,7 @@ from .viterbi import NEG_PAD, TINY
 from .viterbi_pallas import GROUP, _VMEM_LIMIT, _use_interpret
 
 LOG_TINY = float(np.log(TINY))
+LANE_UV = 128  # lane width of the broadcast unvoiced-carry scratch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,14 +79,12 @@ class BandedStructure:
     log_c_uv: float  # log(A[n, j] + tiny)  (unvoiced -> voiced)
     log_c_vu: float  # log(A[i, n] + tiny)  (voiced -> unvoiced)
     log_c_uu: float  # log(A[n, n] + tiny)
-    # source-profile groups (see extract_band_groups): contiguous d-ranges
-    # whose log A[x, x-d] values depend only on the SOURCE x, so their
-    # candidates collapse into a shift-doubling window max over one
-    # pre-added vector h[x] = T1[x] + bv[x] — bitwise-exact, because every
-    # window element IS the dense sum and fp max is reduction-order-free.
-    groups: tuple = ()  # of (d_lo, d_hi) inclusive
-    bv: np.ndarray | None = None  # [len(groups), P] f32 source profiles
-    singles: tuple = ()  # d offsets not covered by any group
+    # source-profile classes (see extract_band_classes): each entry is
+    # (offsets, kind, d_lo, d_hi) with kind 'win' (one shift-doubling
+    # window max over [d_lo, d_hi]) or 'rolls' (one lane roll + max per
+    # offset), all sharing one pre-added vector h = T1 + bv[class].
+    classes: tuple = ()
+    bv: np.ndarray | None = None  # [len(classes), P] f32 source profiles
 
 
 def extract_banded_structure(A: np.ndarray, pad_to: int) -> BandedStructure | None:
@@ -108,7 +120,7 @@ def extract_banded_structure(A: np.ndarray, pad_to: int) -> BandedStructure | No
         vals = np.full(n, NEG_PAD, np.float32)
         vals[ok] = np.log(voiced[src[ok], s[ok]] + TINY)
         band[d + d_max, :n] = vals
-    groups, bv, singles = extract_band_groups(band, d_max, n, P)
+    classes, bv = extract_band_classes(band, d_max, n, P)
     return BandedStructure(
         d_max=d_max,
         n_bins=n,
@@ -118,78 +130,108 @@ def extract_banded_structure(A: np.ndarray, pad_to: int) -> BandedStructure | No
         log_c_uv=float(np.log(A[n, 0] + TINY)),
         log_c_vu=float(np.log(A[0, n] + TINY)),
         log_c_uu=float(np.log(A[n, n] + TINY)),
-        groups=groups,
+        classes=classes,
         bv=bv,
-        singles=singles,
     )
 
 
-def extract_band_groups(
-    band: np.ndarray, d_max: int, n: int, P: int, min_len: int = 3
-) -> tuple[tuple, np.ndarray, tuple]:
-    """Detect contiguous d-ranges whose band values depend only on the
-    SOURCE index x = s + d (exact f32 equality).
+def _doubling_stages(w: int) -> int:
+    stages, cover = 0, 1
+    while cover < w:
+        cover += min(cover, w - cover)
+        stages += 1
+    return stages
 
-    The shaping pipeline pools transition counts by distance and floors
-    small counts (SURVEY.md §2.4), so every |d| beyond a few semitone bins
-    carries the SAME pooled count C; after row normalization
-    A[x, s] = C / Z_x for all those (x, s) — a function of the source row
-    alone. For such a group [d_lo, d_hi] the max over its candidates
-    becomes a window max over h[x] = fl(T1[x] + bv[x]):
 
-        max_{d in [d_lo, d_hi]} fl(T1[s+d] + band[d][s])
-          = max_{x in [s+d_lo, s+d_hi]} h[x]
+def extract_band_classes(
+    band: np.ndarray, d_max: int, n: int, P: int
+) -> tuple[tuple, np.ndarray]:
+    """Partition band offsets into source-profile classes and pick each
+    class's cheapest exact execution strategy.
 
-    which shift-doubling computes in O(log w) lane rolls instead of w
-    (roll + add + max) triples. Exactness: each window element is the
-    identical f32 sum the dense kernel forms, and fp max commutes.
+    A per-offset source profile is pf_d[x] = band[d + d_max][x - d]
+    (= log A[x, x-d], NaN where x is not a valid source). The shaping
+    pipeline pools transition counts by distance and floors small counts
+    (SURVEY.md §2.4), then normalizes each row by Z_x, so pf_d[x] =
+    log(c(|d|)/Z_x + tiny) depends on d only through the pooled count —
+    ±d pairs share one exact f32 profile, and every |d| in the floored
+    tail shares the SAME profile. Offsets whose profiles are f32-identical
+    on their common domain merge into one class with a merged profile.
 
-    Returns (groups, bv, singles): groups is a tuple of (d_lo, d_hi)
-    inclusive ranges (length >= min_len), bv a [len(groups), P] f32 array
-    of source-profile vectors (NEG_PAD where x is never a valid source for
-    the group), singles the remaining d offsets.
+    Strategies over h[x] = fl(T1[x] + profile[x]):
+      'rolls' — one lane roll + max per offset (cost 1 + 2k, k offsets;
+                offset 0 needs no roll);
+      'win'   — one shift-doubling window max over the span
+                [d_lo, d_hi] = [min(offsets), max(offsets)]
+                (cost ~3 + 2 ceil-log2(w)). Exact iff every offset d' in
+                the span that is NOT in the class has pf_{d'} >= profile
+                pointwise on the common domain: then each spurious window
+                element is <= the true candidate that d''s own class
+                computes (fp-add monotonicity), so the overall max over
+                all classes is unchanged, bitwise.
+
+    Returns (classes, bv): classes a tuple of (offsets, kind, d_lo, d_hi),
+    bv a [len(classes), P] f32 array of profiles (NEG_PAD where x is never
+    a valid source for the class).
     """
-    # per-d source profile pf_d[x] = band[d + d_max][x - d] (NaN = invalid)
     profiles = np.full((2 * d_max + 1, P), np.nan, np.float32)
     for d in range(-d_max, d_max + 1):
         s = np.arange(max(0, -d), min(n, n - d))  # valid targets
         profiles[d + d_max, s + d] = band[d + d_max, s]
 
-    groups: list[tuple[int, int]] = []
-    bvs: list[np.ndarray] = []
-    singles: list[int] = []
-    d = -d_max
-    while d <= d_max:
-        bv = profiles[d + d_max].copy()
-        d_hi = d
-        for d2 in range(d + 1, d_max + 1):
-            p2 = profiles[d2 + d_max]
-            both = ~np.isnan(bv) & ~np.isnan(p2)
-            if not np.array_equal(bv[both], p2[both]):
+    # greedy partition by exact f32 equality on the common valid domain
+    class_offsets: list[list[int]] = []
+    class_profiles: list[np.ndarray] = []
+    for d in range(-d_max, d_max + 1):
+        pf = profiles[d + d_max]
+        placed = False
+        for ci, cp in enumerate(class_profiles):
+            both = ~np.isnan(cp) & ~np.isnan(pf)
+            if both.any() and np.array_equal(cp[both], pf[both]):
+                new = np.isnan(cp) & ~np.isnan(pf)
+                cp[new] = pf[new]
+                class_offsets[ci].append(d)
+                placed = True
                 break
-            new = np.isnan(bv) & ~np.isnan(p2)
-            bv[new] = p2[new]
-            d_hi = d2
-        if d_hi - d + 1 >= min_len:
-            groups.append((d, d_hi))
-            out = np.full(P, NEG_PAD, np.float32)
-            ok = ~np.isnan(bv)
-            out[ok] = bv[ok]
-            bvs.append(out)
-        else:
-            singles.extend(range(d, d_hi + 1))
-        d = d_hi + 1
-    bv_arr = (
-        np.stack(bvs) if bvs else np.zeros((0, P), np.float32)
-    )
-    return tuple(groups), bv_arr, tuple(singles)
+        if not placed:
+            class_offsets.append([d])
+            class_profiles.append(pf.copy())
+
+    classes: list[tuple] = []
+    bvs: list[np.ndarray] = []
+    for offsets, cp in zip(class_offsets, class_profiles):
+        d_lo, d_hi = min(offsets), max(offsets)
+        w = d_hi - d_lo + 1
+        cost_rolls = 1 + sum(1 if d == 0 else 2 for d in offsets)
+        cost_win = 2 + (1 if d_lo != 0 else 0) + 2 * _doubling_stages(w)
+        win_ok = cost_win < cost_rolls
+        if win_ok:
+            # domination check for span offsets outside the class
+            member = set(offsets)
+            for d2 in range(d_lo, d_hi + 1):
+                if d2 in member:
+                    continue
+                pf2 = profiles[d2 + d_max]
+                both = ~np.isnan(cp) & ~np.isnan(pf2)
+                if not np.all(pf2[both] >= cp[both]):
+                    win_ok = False
+                    break
+        kind = "win" if win_ok else "rolls"
+        classes.append((tuple(offsets), kind, d_lo, d_hi))
+        out = np.full(P, NEG_PAD, np.float32)
+        ok = ~np.isnan(cp)
+        out[ok] = cp[ok]
+        bvs.append(out)
+    bv_arr = np.stack(bvs) if bvs else np.zeros((0, P), np.float32)
+    return tuple(classes), bv_arr
 
 
 def _make_banded_forward_kernel(bs_key: tuple, N: int):
-    (d_max, n_bins, S, P, log_c_uv, log_c_vu, log_c_uu, groups, singles) = bs_key
+    (d_max, n_bins, S, P, log_c_uv, log_c_vu, log_c_uu, classes, singles,
+     ragged) = bs_key
 
     def kernel(
-        len_ref, obs_ref, band_ref, bv_ref, logpi_ref,
+        obs_ref, band_ref, bv_ref, logpi_ref, len_ref,
         t1m1_ref, t1_last_ref, carry, carry_uv,
     ):
         chunk = pl.program_id(0)
@@ -197,9 +239,7 @@ def _make_banded_forward_kernel(bs_key: tuple, N: int):
         base_t = chunk * L
         lane = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
         lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-        lengths = jnp.stack(
-            [jnp.full((1,), len_ref[n], jnp.int32) for n in range(N)]
-        )  # [N, 1]
+        lengths = len_ref[:, :]  # [N, 1] int32 (VMEM column input)
         logpi_row = logpi_ref[0, :][None, :]
         # the unvoiced-state carry column avoids a per-frame lane extraction
         # (a where + lane reduce); these one-time extractions are exact
@@ -218,30 +258,37 @@ def _make_banded_forward_kernel(bs_key: tuple, N: int):
             # doc) and the unvoiced source, folded into one [N, 1] seed
             seed = jnp.maximum(max_voiced + LOG_TINY, prev_uv + log_c_uv)
             acc = jnp.broadcast_to(seed, (N, P))
-            # source-profile groups: one add, then a shift-doubling window
-            # max — each element IS the exact dense sum fl(T1[x] + bv[x])
-            for gi, (d_lo, d_hi) in enumerate(groups):
-                h = voiced_prev + bv_ref[gi, :][None, :]
-                m = pltpu.roll(h, (-d_lo) % P, 1)  # m[s] = h[s + d_lo]
-                cover, w = 1, d_hi - d_lo + 1
-                while cover < w:
-                    sft = min(cover, w - cover)
-                    m = jnp.maximum(m, pltpu.roll(m, (P - sft) % P, 1))
-                    cover += sft
-                acc = jnp.maximum(acc, m)
-            # ungrouped offsets: individual roll + add candidates
+            for ci, (offsets, kind, d_lo, d_hi) in enumerate(classes):
+                h = voiced_prev + bv_ref[ci, :][None, :]
+                if kind == "win":
+                    # shift-doubling window max: m[s] = max h[s+d_lo..s+d_hi]
+                    m = pltpu.roll(h, (-d_lo) % P, 1) if d_lo else h
+                    cover, w = 1, d_hi - d_lo + 1
+                    while cover < w:
+                        sft = min(cover, w - cover)
+                        m = jnp.maximum(m, pltpu.roll(m, (P - sft) % P, 1))
+                        cover += sft
+                    acc = jnp.maximum(acc, m)
+                else:
+                    for d in offsets:
+                        hd = pltpu.roll(h, (-d) % P, 1) if d else h
+                        acc = jnp.maximum(acc, hd)
+            # fallback path (wrap-unsafe padding): per-offset target-masked
+            # band rows, no source profiles
             for d in singles:
                 shifted = pltpu.roll(prev, (-d) % P, 1)  # shifted[s] = prev[s+d]
                 acc = jnp.maximum(acc, shifted + band_ref[d + d_max, :][None, :])
             # unvoiced target
             m_uv = jnp.maximum(max_voiced + log_c_vu, prev_uv + log_c_uu)
+            # pad lanes (> n_bins) receive acc ~= seed + pad-obs each frame;
+            # they never win any downstream argmax (obs pads are -1e30), so
+            # no extra mask is spent on them
             m = jnp.where(lane == n_bins, m_uv, acc)
-            return jnp.where(lane < S, m, NEG_PAD), m_uv
+            return m, m_uv
 
         # frame 0 is handled OUTSIDE the hot loop: the carry is
         # pre-initialized to T1[0] = log pi + obs[0], so the per-frame
-        # update needs one fused (active AND t>0) select instead of the
-        # is_first add+select pair
+        # update needs no is_first select at all
         @pl.when(chunk == 0)
         def _():
             obs0 = obs_ref[:, 0, :]
@@ -255,39 +302,39 @@ def _make_banded_forward_kernel(bs_key: tuple, N: int):
                 logpi_uv + obs0_uv, carry_uv.shape
             )
 
-        def group(g, carry_pair):
-            prev, prev_uv = carry_pair
-            j0 = pl.multiple_of(g * GROUP, GROUP)
+        # static Python loop: frame offsets j are Python ints, so the
+        # full-length specialization needs no per-frame masks at all — the
+        # single chunk-dependent select sits on frame j == 0 of each chunk
+        prev = carry[:, :]
+        prev_uv = jnp.max(carry_uv[:, :], axis=1, keepdims=True)  # equal lanes
+        for g in range(L // GROUP):
+            j0 = g * GROUP
             obs_blk = obs_ref[:, pl.ds(j0, GROUP), :]
-            # amortized per-block extraction of the unvoiced obs lane
-            lane3 = jax.lax.broadcasted_iota(jnp.int32, (N, GROUP, P), 2)
-            obs_uv_blk = jnp.max(
-                jnp.where(lane3 == n_bins, obs_blk, NEG_PAD), axis=2
-            )  # [N, GROUP]
+            # static lane slice of the unvoiced observation column —
+            # bitwise the same values as a where+reduce extraction
+            obs_uv_blk = obs_blk[:, :, n_bins : n_bins + 1]  # [N, GROUP, 1]
             rows = []
             for k in range(GROUP):
-                t = base_t + j0 + k
+                j = j0 + k  # static within-chunk frame index
                 obs_j = obs_blk[:, k, :]
-                obs_uv_j = obs_uv_blk[:, k : k + 1]  # [N, 1]
-                # frame t > 0 advances tracks still active; frame 0 keeps
-                # the pre-initialized carry (row 0 is zeroed post-loop)
-                step = jnp.logical_and(t > 0, t < lengths)  # [N, 1]
+                obs_uv_j = obs_uv_blk[:, k, :]  # [N, 1]
                 rows.append(prev)
                 m, m_uv = step_max(prev, prev_uv)
-                prev = jnp.where(step, m + obs_j, prev)
-                # bitwise-consistent with prev[:, n_bins]: same f32 adds on
-                # the same exactly-extracted operands
-                prev_uv = jnp.where(step, m_uv + obs_uv_j, prev_uv)
+                if ragged:
+                    # frame t > 0 advances tracks still active; frame 0
+                    # keeps the pre-initialized carry
+                    t = base_t + j
+                    step = jnp.logical_and(t > 0, t < lengths)  # [N, 1]
+                    prev = jnp.where(step, m + obs_j, prev)
+                    prev_uv = jnp.where(step, m_uv + obs_uv_j, prev_uv)
+                elif j == 0:
+                    keep = chunk == 0  # frame 0 keeps the pre-init carry
+                    prev = jnp.where(keep, prev, m + obs_j)
+                    prev_uv = jnp.where(keep, prev_uv, m_uv + obs_uv_j)
+                else:
+                    prev = m + obs_j
+                    prev_uv = m_uv + obs_uv_j
             t1m1_ref[:, pl.ds(j0, GROUP), :] = jnp.stack(rows, axis=1)
-            return (prev, prev_uv)
-
-        init = (
-            carry[:, :],
-            jnp.max(carry_uv[:, :], axis=1, keepdims=True),  # lanes all equal
-        )
-        prev, prev_uv = jax.lax.fori_loop(
-            0, L // GROUP, group, init, unroll=True
-        )
         carry[:, :] = prev
         carry_uv[:, :] = jnp.broadcast_to(prev_uv, carry_uv.shape)
 
@@ -313,31 +360,36 @@ def _build_banded_call(
     block_frames: int,
     interpret: bool,
 ):
-    """Jitted pallas call cached per (structure scalars+groups, shapes)."""
-    d_max, n_bins, S, P, log_c_uv, log_c_vu, log_c_uu, groups, singles = key
+    """Jitted pallas call cached per (structure scalars+classes, shapes)."""
+    (d_max, n_bins, S, P, log_c_uv, log_c_vu, log_c_uu, classes, singles,
+     ragged) = key
     n_chunks = T_pad // block_frames
     W = 2 * d_max + 1
-    n_bv = max(len(groups), 1)  # zero-sized VMEM blocks are not tileable
-    # rough VPU-op cost: 3 ops per single, ~(log2 w + 3) per group, ~12 misc
-    ops = 3 * len(singles) + sum(
-        int(np.ceil(np.log2(hi - lo + 1))) + 3 for lo, hi in groups
-    ) + 12
+    n_bv = max(len(classes), 1)  # zero-sized VMEM blocks are not tileable
+    # rough VPU-op cost per frame, for the compiler's pipeline model
+    ops = 12 + 3 * len(singles)
+    for offsets, kind, d_lo, d_hi in classes:
+        if kind == "win":
+            ops += 3 + 2 * _doubling_stages(d_hi - d_lo + 1)
+        else:
+            ops += 1 + sum(1 if d == 0 else 2 for d in offsets)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((N, block_frames, P), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((N, block_frames, P), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bv, P), lambda i, *_: (0, 0),
+            pl.BlockSpec((W, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bv, P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((N, block_frames, P), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((N, block_frames, P), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, P), jnp.float32),
@@ -362,18 +414,15 @@ def _build_banded_call(
     @jax.jit
     def run(lengths, obs_batch, band, bv, log_pi):
         t1m1, t1_last = call(
-            lengths.astype(jnp.int32),
             obs_batch.astype(jnp.float32),
             band,
             bv,
             log_pi.astype(jnp.float32)[None, :],
+            lengths.astype(jnp.int32)[:, None],
         )
         return t1_last, t1m1
 
     return run
-
-
-LANE_UV = 128  # lane width of the broadcast unvoiced-carry scratch
 
 
 def viterbi_forward_pallas_banded_batch(
@@ -386,21 +435,24 @@ def viterbi_forward_pallas_banded_batch(
     interpret: bool | None = None,
 ):
     """Banded batched forward DP; same contract as
-    viterbi_forward_pallas_batch, bit-identical T1 values."""
+    viterbi_forward_pallas_batch (T1 values bit-identical on lanes [:S];
+    pad lanes hold garbage that never wins an argmax)."""
     if interpret is None:
         interpret = _use_interpret()
     N, T_pad, P = obs_batch.shape
     assert P == bs.P and N % 8 == 0 and T_pad % block_frames == 0
-    groups, singles = bs.groups, bs.singles
-    # the grouped window max masks wrapped lanes by SOURCE (bv), which is
-    # only safe when rolls cannot wrap valid sources onto valid targets
-    if groups and P < bs.n_bins + bs.d_max:
-        groups, singles = (), tuple(range(-bs.d_max, bs.d_max + 1))
+    classes, singles = bs.classes, ()
+    # the profile formulation masks wrapped lanes by SOURCE, which is only
+    # safe when rolls cannot wrap valid sources onto valid targets
+    if classes and P < bs.n_bins + bs.d_max:
+        classes, singles = (), tuple(range(-bs.d_max, bs.d_max + 1))
+    lengths_np = np.asarray(jax.device_get(jnp.asarray(lengths, jnp.int32)))
+    ragged = bool(np.any(lengths_np != T_pad))
     key = (
         bs.d_max, bs.n_bins, bs.S, bs.P,
-        bs.log_c_uv, bs.log_c_vu, bs.log_c_uu, groups, singles,
+        bs.log_c_uv, bs.log_c_vu, bs.log_c_uu, classes, singles, ragged,
     )
-    bv = bs.bv if (bs.bv is not None and len(groups)) else None
+    bv = bs.bv if (bs.bv is not None and len(classes)) else None
     if bv is None or bv.shape[0] == 0:
         bv = np.zeros((1, P), np.float32)
     run = _build_banded_call(key, N, T_pad, block_frames, bool(interpret))
