@@ -134,3 +134,44 @@ def test_pallas_sharded_decode_matches_scan_variant(rng):
     )
     np.testing.assert_array_equal(np.asarray(scan_states), np.asarray(states))
     np.testing.assert_array_equal(np.asarray(scan_seams), np.asarray(seams))
+
+
+def test_forced_halo_doubling_episode():
+    """The seam-stress fixture must make small halos FAIL their certificate
+    (never silently return a wrong path) and drive the auto-halo wrapper
+    through two real doubling episodes to the exact decode."""
+    from viterbi_spl_tpu.dist import viterbi_decode_time_sharded
+    from viterbi_spl_tpu.dist.certify import make_seam_stress_hmm
+    from viterbi_spl_tpu.hmm.viterbi import (
+        viterbi_backtrace_jax,
+        viterbi_forward_jax,
+    )
+
+    mesh = make_mesh(data=1, seq=8)
+    A, pi, obs, switch = make_seam_stress_hmm(n_blocks=8)
+    log_B, log_pi = prepare_log_params(A, pi)
+    log_obs = log_obs_fn(jnp.asarray(obs))
+    t1_last, T2 = viterbi_forward_jax(
+        jnp.asarray(log_B), jnp.asarray(log_pi), log_obs
+    )
+    exact = np.asarray(
+        viterbi_backtrace_jax(T2, jnp.argmax(t1_last).astype(jnp.int32))
+    )
+    assert int(np.argmax(exact == 1)) == switch
+
+    for halo, should_pass in ((16, False), (32, False), (64, True)):
+        states, seams = viterbi_sharded_time_blocks(
+            jnp.asarray(log_B), jnp.asarray(log_pi), log_obs, mesh, halo=halo
+        )
+        ok = bool(np.all(np.asarray(seams)))
+        match = np.array_equal(np.asarray(states), exact)
+        assert ok == should_pass
+        assert match or not ok, "certificate false positive"
+        if should_pass:
+            assert match
+
+    states, final_halo = viterbi_decode_time_sharded(
+        jnp.asarray(log_B), jnp.asarray(log_pi), log_obs, mesh, halo=16
+    )
+    assert final_halo == 64
+    np.testing.assert_array_equal(exact, np.asarray(states))
