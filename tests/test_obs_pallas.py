@@ -147,3 +147,86 @@ def test_decoder_setup_fused_obs(rng, tmp_path):
     for (v0, b0), (v1, b1) in zip(base, fast):
         np.testing.assert_array_equal(v0, v1)
         np.testing.assert_array_equal(b0, b1)
+
+
+@pytest.mark.parametrize("scaled", [True, False], ids=["scaled", "unscaled"])
+@pytest.mark.parametrize(
+    "n_bins,spw,P,N,T",
+    [
+        (360, 5, 384, 8, 64),   # tonet config
+        (721, 16, 768, 8, 32),  # jdc config
+    ],
+    ids=["tonet-360", "jdc-721"],
+)
+def test_fused_softmax_obs_matches_xla_path(rng, scaled, n_bins, spw, P, N, T):
+    from viterbi_spl_tpu.hmm.obs import softmax_observation_probs
+    from viterbi_spl_tpu.hmm.obs_pallas import softmax_log_obs_pallas
+
+    vth = 0.7  # threshold logit (the constant non-melody logit)
+    pri = rng.random(n_bins + 1).astype(np.float32) + 0.1
+    pri /= pri.sum()
+    logits = rng.normal(-2, 1, (N, T, n_bins)).astype(np.float32)
+    logits[0, :, :] = rng.integers(0, 3, (T, n_bins))  # tie-heavy track
+    logits[1, 3, :] = -np.arange(n_bins)  # a frame with its peak at bin 0
+
+    padded = pad_logits_reflect(jnp.asarray(logits), spw, P)
+    got = np.asarray(
+        softmax_log_obs_pallas(
+            padded, n_bins, spw, vth, pri, scaled, block_frames=16
+        )
+    )
+    for i in range(N):
+        obs = np.asarray(
+            softmax_observation_probs(
+                jnp.asarray(logits[i]), vth, jnp.asarray(pri), spw, scaled
+            )
+        )
+        want = np.full((T, P), NEG_PAD, np.float32)
+        want[:, : n_bins + 1] = np.log(obs + TINY)
+        # same tolerance contract as the shaun kernel: tight relative on
+        # the voiced lanes (softmax-denominator reduction order) ...
+        np.testing.assert_allclose(got[i], want, rtol=2e-5, atol=0)
+        # ... and exact zeros (non-peaks, padding) BIT-exact
+        zero = want <= np.float32(np.log(TINY)) + 1e-3
+        np.testing.assert_array_equal(got[i][zero], want[zero])
+
+
+@pytest.mark.parametrize(
+    "method", ["softmax-scaled", "softmax-unscaled"],
+)
+def test_decoder_setup_fused_obs_softmax(rng, method):
+    """DecoderSetup(fused_obs=True) with the softmax methods decodes the
+    same paths as the default path on smooth (tie-free) data."""
+    import dataclasses
+
+    from viterbi_spl_tpu.hmm import params as hmm_params
+    from viterbi_spl_tpu.harness.evaluate import DecoderSetup
+
+    n_bins, spw = 60, 3
+    q = np.clip(30 + np.cumsum(rng.integers(-2, 3, 2000)), 0, n_bins - 1)
+    voiced = np.repeat(rng.random(101) > 0.3, 20)[:2000]
+    q = np.where(voiced, q, n_bins)
+    stats = hmm_params.count_statistics([q], n_bins)
+    A = hmm_params.shape_transition_matrix(
+        stats.transition_counts, stats.switch, n_bins, 6, floor=2
+    )
+    pi = hmm_params.shape_init_probs(stats.p_steady)
+    setup = DecoderSetup(
+        transition_matrix=A, init_probs=pi, n_bins=n_bins, note_min=36.0,
+        bins_per_semitone=2.0, spw=spw, voicing_threshold=0.5,
+        hop_seconds=0.01, method=method,
+    )
+    fused = dataclasses.replace(setup, fused_obs=True)
+
+    logits_list = []
+    for T in (50, 77):
+        lg = rng.normal(-2, 1, (T, n_bins)).astype(np.float32)
+        path = np.clip(30 + np.cumsum(rng.integers(-1, 2, T)), 0, n_bins - 1)
+        lg[np.arange(T), path] += 6.0
+        logits_list.append(lg)
+
+    base = setup.decode_batch(logits_list)
+    fast = fused.decode_batch(logits_list)
+    for (v0, b0), (v1, b1) in zip(base, fast):
+        np.testing.assert_array_equal(v0, v1)
+        np.testing.assert_array_equal(b0, b1)

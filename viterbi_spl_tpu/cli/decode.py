@@ -159,9 +159,9 @@ def main(argv=None):
                     help="inputs are [n_bins, T] instead of [T, n_bins]")
     ap.add_argument("--fused-obs", action="store_true",
                     help="serving fast path: fused Pallas observation "
-                         "kernel feeding the decoder directly (shaun "
-                         "method; see hmm/obs_pallas.py for the tolerance "
-                         "contract)")
+                         "kernel feeding the decoder directly (all "
+                         "methods; see hmm/obs_pallas.py for the "
+                         "tolerance contract)")
     ap.add_argument("--skip-existing", action="store_true",
                     help="skip inputs whose output file already exists — "
                          "makes interrupted batch jobs restartable "

@@ -65,20 +65,16 @@ class DecoderSetup:
     # jdc maps decoded bins to notes directly, without the +/-1-bin
     # probability interpolation (jdc/viterbi_softmax.py:2443-2470)
     interp_est_notes: bool = True
-    # serving fast path: compute the shaun observation model inside a fused
-    # Pallas kernel (hmm/obs_pallas.py) feeding the decoder directly.
-    # Equal to the default path up to softmax-denominator reduction order
-    # and ulp-level transcendentals (see the kernel docstring); opt-in.
+    # serving fast path: compute the observation model (any method) inside
+    # a fused Pallas kernel (hmm/obs_pallas.py) feeding the decoder
+    # directly. Equal to the default path up to softmax-denominator
+    # reduction order and ulp-level transcendentals (see the kernel
+    # docstring); opt-in.
     fused_obs: bool = False
 
     def __post_init__(self):
         if self.method not in ALLOWED_VITERBI_METHODS:
             raise ValueError(f"unknown viterbi method {self.method}")
-        if self.fused_obs and self.method != "shaun":
-            raise ValueError(
-                f"fused_obs is only implemented for the shaun observation "
-                f"model (hmm/obs_pallas.py), not method={self.method!r}"
-            )
         self._log_B, self._log_pi = prepare_log_params(
             self.transition_matrix, self.init_probs
         )
@@ -119,7 +115,7 @@ class DecoderSetup:
         elsewhere it falls back to the lax.scan decoder per track. Paths are
         bit-identical across backends (tested), except under the opt-in
         fused_obs serving path (documented tolerance)."""
-        if self.fused_obs and self.method == "shaun":
+        if self.fused_obs:
             return self._decode_batch_fused(logits_list)
         obs_list = [np.asarray(self.observation_probs(lg)) for lg in logits_list]
 
@@ -154,7 +150,10 @@ class DecoderSetup:
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Fused serving path: logits -> Pallas observation kernel ->
         batched decode, all on device (one HBM round trip for the obs)."""
-        from ..hmm.obs_pallas import shaun_log_obs_pallas
+        from ..hmm.obs_pallas import (
+            shaun_log_obs_pallas,
+            softmax_log_obs_pallas,
+        )
         from ..hmm.viterbi import NEG_PAD
         from ..hmm.viterbi_pallas import (
             LANE,
@@ -187,10 +186,17 @@ class DecoderSetup:
 
         # obs kernel at 32-frame blocks (64 spills vregs past the scoped
         # VMEM limit at N=128); the decode keeps 64-frame blocks
-        log_obs = shaun_log_obs_pallas(
-            padded, self.n_bins, self.spw, self.threshold_logit,
-            self.obs_p, self.obs_scale, block_frames=32,
-        )
+        if self.method == "shaun":
+            log_obs = shaun_log_obs_pallas(
+                padded, self.n_bins, self.spw, self.threshold_logit,
+                self.obs_p, self.obs_scale, block_frames=32,
+            )
+        else:
+            log_obs = softmax_log_obs_pallas(
+                padded, self.n_bins, self.spw, self.threshold_logit,
+                self.init_probs, scaled=(self.method == "softmax-scaled"),
+                block_frames=32,
+            )
         states = np.asarray(
             viterbi_decode_batch_pallas_logobs(
                 transition_matrix=self.transition_matrix,

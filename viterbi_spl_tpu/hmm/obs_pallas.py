@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for the shaun observation model.
+"""Fused Pallas TPU kernels for the observation models.
 
 The XLA lowering of `hmm.obs.shaun_observation_probs` runs each windowed-max
 / softmax stage as its own HBM pass over the [N, T, n_bins] tensor (~90 ms
@@ -19,8 +19,13 @@ path is therefore an opt-in SERVING path (DecoderSetup(fused_obs=True),
 decode CLI --fused-obs); the default path keeps the XLA implementation
 whose outputs are bit-reproducible across CPU/TPU backends.
 
+`softmax_log_obs_pallas` fuses the softmax observation model the same way
+(one kernel handles scaled and unscaled: the prior division becomes a
+no-op against an all-ones prior row). Same tolerance contract.
+
 Reference semantics: dcnet/softmax_viterbi.py:2316-2360 (peak+voicing
-observation model), :2302-2314 (vectorized peak finder).
+observation model), :2302-2314 (vectorized peak finder),
+:2530-2579 (softmax-scaled/-unscaled models).
 """
 
 from __future__ import annotations
@@ -111,6 +116,132 @@ def _make_obs_kernel(n_bins: int, spw: int, N: int, P: int):
         )
 
     return kernel
+
+
+def _make_softmax_obs_kernel(n_bins: int, spw: int, N: int, P: int):
+    def kernel(params_ref, logits_ref, prior_ref, out_ref):
+        # params_ref: SMEM [2] f32 = voicing-threshold logit (the constant
+        # non-melody logit, always in the softmax set), prior_unvoiced
+        vth = params_ref[0]
+        prior_uv = params_ref[1]
+        x = logits_ref[:, :, :]  # [N, L, P]; data at lanes [spw, spw+n_bins)
+        _, L, _ = x.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, (N, L, P), 2)
+        data = jnp.logical_and(lane >= spw, lane < spw + n_bins)
+
+        left = pltpu.roll(_window_max(x, spw, P, neg=False), 1, 2)
+        right = pltpu.roll(_window_max(x, spw, P, neg=True), P - 1, 2)
+        is_peak = jnp.logical_and(data, jnp.logical_and(x > left, x >= right))
+
+        peak_vals = jnp.where(is_peak, x, NEG_PAD)
+        pmax = jnp.max(peak_vals, axis=2, keepdims=True)  # [N, L, 1]
+        any_peak = pmax > jnp.float32(NEG_PAD) / 2
+        gmax = jnp.maximum(pmax, vth)  # non-melody logit always in the set
+
+        exps = jnp.where(is_peak, jnp.exp(x - gmax), 0.0)
+        exp_nm = jnp.exp(vth - gmax)  # [N, L, 1]
+        denom = jnp.sum(exps, axis=2, keepdims=True) + exp_nm
+        # two divisions, matching hmm.obs.softmax_observation_probs ulp
+        # behavior (prior_ref holds the prior itself, ones when unscaled)
+        voiced = exps / denom / prior_ref[0, :][None, None, :]
+        voiced = jnp.where(jnp.logical_and(is_peak, any_peak), voiced, 0.0)
+        unvoiced = jnp.where(
+            any_peak, (exp_nm / denom) / prior_uv, 1.0 / prior_uv
+        )
+
+        # shift data lanes back to [0, n_bins), unvoiced state at lane n_bins
+        probs = pltpu.roll(voiced, P - spw, 2)
+        probs = jnp.where(lane == n_bins, unvoiced, probs)
+        probs = jnp.where(lane <= n_bins, probs, 0.0)
+        log_obs = jnp.log(probs + TINY)
+        out_ref[:, :, :] = jnp.where(
+            lane <= n_bins, log_obs, jnp.float32(NEG_PAD)
+        )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_softmax_obs_call(
+    n_bins: int, spw: int, N: int, P: int, T_pad: int, block_frames: int,
+    interpret: bool,
+):
+    n_chunks = T_pad // block_frames
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((N, block_frames, P), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, block_frames, P), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[],
+    )
+    call = pl.pallas_call(
+        _make_softmax_obs_kernel(n_bins, spw, N, P),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((N, T_pad, P), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )
+
+    @jax.jit
+    def run(params, logits_padded, prior_row):
+        return call(params, logits_padded, prior_row)[0]
+
+    return run
+
+
+def softmax_log_obs_pallas(
+    logits_padded,
+    n_bins: int,
+    spw: int,
+    voicing_threshold_logit,
+    init_probs,
+    scaled: bool,
+    *,
+    block_frames: int = 32,
+    interpret: bool | None = None,
+):
+    """Fused softmax observation model (scaled and unscaled): reflect-padded
+    logits [N, T_pad, P] (from `pad_logits_reflect`) -> log observations
+    [N, T_pad, P], voiced lanes [0, n_bins), unvoiced at lane n_bins,
+    NEG_PAD beyond. Semantics of hmm.obs.softmax_observation_probs ->
+    log(obs + TINY), same tolerance contract as `shaun_log_obs_pallas`.
+
+    init_probs: [n_bins + 1] priors (unvoiced LAST); ignored when
+    scaled=False (the prior division runs against ones).
+
+    Measured tolerance vs the XLA path: rtol <= 2e-5 in interpret mode,
+    <= 5e-5 on v5e (Mosaic exp/log ulp differences); decoded paths match
+    exactly on tie-free data (tests + on-chip parity check)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    N, T_pad, P = logits_padded.shape
+    assert N % 8 == 0 and T_pad % block_frames == 0 and P % LANE == 0
+    import numpy as np
+
+    prior_row = np.ones((1, P), np.float32)
+    prior_uv = 1.0
+    if scaled:
+        pri = np.asarray(init_probs, np.float32)
+        assert pri.shape == (n_bins + 1,)
+        # priors live in the padded (pre-roll-back) lane layout, aligned
+        # with the data lanes the peak exps occupy
+        prior_row[0, spw : spw + n_bins] = pri[:n_bins]
+        prior_uv = float(pri[n_bins])
+    params = jnp.asarray(
+        [float(voicing_threshold_logit), prior_uv], jnp.float32
+    )
+    run = _build_softmax_obs_call(
+        n_bins, spw, N, P, T_pad, block_frames, bool(interpret)
+    )
+    return run(params, jnp.asarray(logits_padded), jnp.asarray(prior_row))
 
 
 @functools.lru_cache(maxsize=32)
