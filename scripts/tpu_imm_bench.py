@@ -81,10 +81,10 @@ def main():
     approx_flops = big * 6  # SF0 recomputes + PSX/QSX transposed products
 
     # --- the production fit (device-side patience while_loop) ---
-    best_state, aux, err, it = imm._fit_fn(SX, *state)  # compile + warmup
+    best_state, aux, err, it = imm._fit_fn(SX, *state, jnp.int32(N))  # compile + warmup
     float(err)
     t0 = time.perf_counter()
-    best_state, aux, err, it = imm._fit_fn(SX, *state)
+    best_state, aux, err, it = imm._fit_fn(SX, *state, jnp.int32(N))
     float(err)
     fit_s, fit_iters = time.perf_counter() - t0, int(it)
 

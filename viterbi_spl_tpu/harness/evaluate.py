@@ -161,14 +161,18 @@ class DecoderSetup:
             viterbi_decode_batch_pallas_logobs,
         )
 
+        from ..utils import shape_bucket
+
         block = 64
         S = self.n_bins + 1
         P = _round_up(S, LANE)
         spw = self.spw
         lengths = [np.asarray(lg).shape[0] for lg in logits_list]
         N_real = len(logits_list)
-        N = _round_up(max(N_real, 1), 8)
-        T_pad = _round_up(max(lengths), block)
+        # geometric shape buckets: a mixed-length corpus compiles O(log T)
+        # kernel shapes; padded frames are masked by the lengths vector
+        N = shape_bucket(max(N_real, 1), quantum=8, ratio=2.0)
+        T_pad = shape_bucket(max(lengths), quantum=block)
         # the reflect-padded lane layout is built on the HOST during
         # staging: an XLA pad of the non-lane-multiple minor dim costs more
         # than the observation kernel itself (measured 46 ms vs 38 ms at

@@ -581,19 +581,23 @@ def viterbi_decode_batch_pallas(
 ) -> list[np.ndarray]:
     """Decode a list of [S, T_i] posteriorgram tracks together on one chip.
 
-    Pads N to a multiple of 8 and T to a common block multiple; returns
-    per-track [T_i] int64 state paths, bit-identical to the oracle.
-    When the transition matrix has the banded+constant-coupling structure
-    of the shaped melody HMMs (and allow_banded), the forward pass runs the
-    exact banded fast path (see viterbi_banded.py)."""
+    Pads N and T to geometric shape buckets (utils.shape_bucket) so a
+    mixed-length corpus compiles O(log T) kernel shapes instead of one per
+    distinct length; padded frames/tracks are masked by the per-track
+    lengths, so returned paths are unchanged — still bit-identical to the
+    oracle. When the transition matrix has the banded+constant-coupling
+    structure of the shaped melody HMMs (and allow_banded), the forward
+    pass runs the exact banded fast path (see viterbi_banded.py)."""
+    from ..utils import shape_bucket
+
     S = np.asarray(transition_matrix).shape[0]
     P = _round_up(S, LANE)
     log_B, log_pi = prepare_log_params(transition_matrix, prob_init, pad_to=P)
 
     lengths = [np.asarray(p).shape[1] for p in probs_st_list]
     N_real = len(probs_st_list)
-    N = _round_up(max(N_real, 1), 8)
-    T_pad = _round_up(max(lengths), block_frames)
+    N = shape_bucket(max(N_real, 1), quantum=8, ratio=2.0)
+    T_pad = shape_bucket(max(lengths), quantum=block_frames)
     obs = np.zeros((N, T_pad, P), np.float32)
     for i, p in enumerate(probs_st_list):
         obs[i, : lengths[i], :S] = np.asarray(p, np.float32).T

@@ -132,10 +132,17 @@ class IMM:
         self._stereo_fit_fn = jax.jit(self._stereo_fit_loop)
 
     # ------------------------------------------------------------------
-    def _iteration(self, SX, HGAMMA, HPHI, HF0, WM, HM):
-        """One multiplicative-update sweep (imm/tf_imm.py:243-321 order)."""
+    def _iteration(self, SX, HGAMMA, HPHI, HF0, WM, HM, n_real=None):
+        """One multiplicative-update sweep (imm/tf_imm.py:243-321 order).
+
+        n_real: number of real frame columns when the inputs carry
+        zero-padded bucket columns (see fit and _pad_fix: every per-frame
+        denominator is pinned to 1.0 in padded columns so XLA's fused
+        division chains never overflow; real columns are untouched and the
+        zero H columns keep padded frames out of every cross-frame sum)."""
         cfg = self.config
         eps = jnp.float32(cfg.eps)
+        fix, fix1 = self._pad_fix(SX.shape[1], n_real)
         WGAMMA = jnp.asarray(self.WGAMMA)
         WF0 = jnp.asarray(self.WF0)
 
@@ -143,34 +150,34 @@ class IMM:
         SPHI = WPHI @ HPHI
         SF0 = WF0 @ HF0
         SM = WM @ HM
-        hatSX = SPHI * SF0 + SM
+        hatSX = fix(SPHI * SF0 + SM)
 
         # HF0
         PSX = WF0.T @ (SPHI * SX / (hatSX**2 + eps))
-        QSX = WF0.T @ (SPHI / (hatSX + eps))
+        QSX = fix(WF0.T @ (SPHI / (hatSX + eps)))
         HF0 = HF0 * PSX / (QSX + eps)
         SF0 = WF0 @ HF0
         SV = SPHI * SF0
-        hatSX = SV + SM
+        hatSX = fix(SV + SM)
 
         # HPHI (+ renorm into HF0)
         PSX = WPHI.T @ (SF0 * SX / (hatSX**2 + eps))
-        QSX = WPHI.T @ (SF0 / (hatSX + eps))
+        QSX = fix(WPHI.T @ (SF0 / (hatSX + eps)))
         HPHI = HPHI * PSX / (QSX + eps)
-        norm = jnp.sum(HPHI, axis=0)
+        norm = fix1(jnp.sum(HPHI, axis=0))
         HPHI = HPHI / (norm + eps)[None, :]
         HF0 = HF0 * norm[None, :]
         SPHI = WPHI @ HPHI
         SF0 = WF0 @ HF0
         SV = SPHI * SF0
-        hatSX = SV + SM
+        hatSX = fix(SV + SM)
 
         # HM
         PSX = WM.T @ (SX / (hatSX**2 + eps))
-        QSX = WM.T @ (1.0 / (hatSX + eps))
+        QSX = fix(WM.T @ (1.0 / (hatSX + eps)))
         HM = HM * PSX / (QSX + eps)
         SM = WM @ HM
-        hatSX = SV + SM
+        hatSX = fix(SV + SM)
 
         # HGAMMA (+ renorms into HPHI then HF0)
         PSX = WGAMMA.T @ (SF0 * SX / (hatSX**2 + eps)) @ HPHI.T
@@ -179,14 +186,14 @@ class IMM:
         norm = jnp.sum(HGAMMA, axis=0)
         HGAMMA = HGAMMA / (norm + eps)[None, :]
         HPHI = HPHI * norm[:, None]
-        norm = jnp.sum(HPHI, axis=0)
+        norm = fix1(jnp.sum(HPHI, axis=0))
         HPHI = HPHI / (norm + eps)[None, :]
         HF0 = HF0 * norm[None, :]
         WPHI = WGAMMA @ HGAMMA
         SPHI = WPHI @ HPHI
         SF0 = WF0 @ HF0
         SV = SPHI * SF0
-        hatSX = SV + SM
+        hatSX = fix(SV + SM)
 
         # WM (+ renorm into HM)
         PSX = (SX / (hatSX**2 + eps)) @ HM.T
@@ -196,15 +203,28 @@ class IMM:
         WM = WM / (norm + eps)[None, :]
         HM = HM * norm[:, None]
         SM = WM @ HM
-        hatSX = SV + SM
+        hatSX = fix(SV + SM)
 
-        err = self._is_divergence(SX, hatSX)
+        err = self._is_divergence(SX, hatSX, n_real)
         return (HGAMMA, HPHI, HF0, WM, HM), (WPHI, SPHI, SF0, SV, SM, hatSX), err
 
-    def _is_divergence(self, X, Y):
+    def _is_divergence(self, X, Y, n_real=None):
+        """Itakura-Saito divergence (mean over entries, imm/tf_imm.py:330).
+
+        n_real (traced scalar): number of REAL frame columns when X/Y carry
+        padded bucket columns (see fit) — those are masked out and the
+        result is the mean over the real entries."""
         eps = jnp.float32(self.config.eps)
         t = (X + eps) / (Y + eps)
-        return jnp.mean(-jnp.log(t) + t) - 1.0
+        if n_real is None:
+            return jnp.mean(-jnp.log(t) + t) - 1.0
+        d = (-jnp.log(t) + t) - 1.0
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, X.shape[1]), 1)
+            < jnp.asarray(n_real, jnp.int32)
+        )
+        d = jnp.where(valid, d, 0.0)
+        return jnp.sum(d) / (X.shape[0] * jnp.asarray(n_real, jnp.float32))
 
     def _keep_best_while(self, iterate_fn, state0):
         """Device-side patience loop shared by the mono/stereo fits.
@@ -262,9 +282,9 @@ class IMM:
         hatSX = SV + SM
         return WPHI, SPHI, SF0, SV, SM, hatSX
 
-    def _fit_loop(self, SX, HGAMMA, HPHI, HF0, WM, HM):
+    def _fit_loop(self, SX, HGAMMA, HPHI, HF0, WM, HM, n_real):
         def iterate(state):
-            new_state, _, err = self._iteration(SX, *state)
+            new_state, _, err = self._iteration(SX, *state, n_real=n_real)
             return new_state, err
 
         best_state, best_err, it = self._keep_best_while(
@@ -272,40 +292,93 @@ class IMM:
         )
         return best_state, self._aux_from_state(*best_state), best_err, it
 
+    @staticmethod
+    def _frame_bucket(N: int) -> int:
+        """Padded frame count: geometric buckets bound the number of
+        compiled fit shapes on a mixed-length corpus (the reference fits
+        per arbitrary track length, imm/main_imm.py:1139-1180; every
+        distinct N here would be a fresh 30-300 s remote TPU compile)."""
+        from ..utils import shape_bucket
+
+        return shape_bucket(N, quantum=128)
+
+    @staticmethod
+    def _pad_fix(n_cols: int, n_real):
+        """Returns (fix, fix1) pinning padded frame columns to 1.0 — fix for
+        [*, N] arrays, fix1 for [N] vectors (both identity when n_real is
+        None). Applied to every per-frame DENOMINATOR (hatSX, the per-frame
+        QSX factors, the HPHI column norms): padded columns would otherwise
+        be exact zeros there, and XLA's fused division chains combine the
+        resulting 1/eps-scale reciprocals into overflow -> inf, which the
+        adjacent zero numerators turn into 0*inf = NaN that cross-frame
+        matmuls then spread everywhere (observed on the CPU backend; the
+        op-by-op de-optimized path is clean). Pinning to 1.0 keeps every
+        denominator normal-scale; the padded-column numerators stay exact
+        zeros, so padded columns still contribute exactly zero to every
+        cross-frame sum and real columns are untouched."""
+        if n_real is None:
+            ident = lambda Y: Y  # noqa: E731
+            return ident, ident
+        n32 = jnp.asarray(n_real, jnp.int32)
+        valid2 = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1) < n32
+        valid1 = jnp.arange(n_cols, dtype=jnp.int32) < n32
+        fix = lambda Y: jnp.where(valid2, Y, jnp.float32(1.0))  # noqa: E731
+        fix1 = lambda v: jnp.where(valid1, v, jnp.float32(1.0))  # noqa: E731
+        return fix, fix1
+
+    @staticmethod
+    def _pad_frames(M, N_pad: int):
+        """Zero-pad frame columns of [*, N] to N_pad. Zero H-columns stay
+        exactly zero through every multiplicative update and contribute
+        exactly zero to all cross-frame sums (WM/HGAMMA/alpha/beta updates
+        and the masked IS divergence); the real columns evolve as at the
+        unpadded shape up to reduction-order ulp (XLA reduction trees
+        depend on the padded extent — tests/test_bucketing.py pins the
+        tolerance)."""
+        return jnp.pad(M, ((0, 0), (0, N_pad - M.shape[1])))
+
     def fit(self, SX, seed: int = 0) -> dict:
         """Run the NMF on a power spectrogram SX [N, F] (time-major, as the
         STFT returns). Returns the best-IS-divergence factor dict with
         state-major [F, N]/[U, N] layouts like the reference. The whole
-        patience loop runs on device (see _keep_best_while)."""
+        patience loop runs on device (see _keep_best_while); frames are
+        zero-padded to a shape bucket (exact — see _pad_frames)."""
         cfg = self.config
         SX = jnp.asarray(SX, jnp.float32).T  # [F, N]
         N = SX.shape[1]
+        N_pad = self._frame_bucket(N)
         key = jax.random.PRNGKey(seed)
         ks = jax.random.split(key, 5)
+        # random inits are drawn at the TRUE N (bucket-independent), then
+        # zero-padded, so the fit result does not depend on the bucket
         HGAMMA = jnp.abs(jax.random.normal(ks[0], (cfg.P, cfg.K)))
-        HPHI = jnp.abs(jax.random.normal(ks[1], (cfg.K, N)))
-        HF0 = jnp.abs(jax.random.normal(ks[2], (cfg.U, N)))
+        HPHI = self._pad_frames(jnp.abs(jax.random.normal(ks[1], (cfg.K, N))), N_pad)
+        HF0 = self._pad_frames(jnp.abs(jax.random.normal(ks[2], (cfg.U, N))), N_pad)
         WM = jnp.abs(jax.random.normal(ks[3], (cfg.F, cfg.R)))
-        HM = jnp.abs(jax.random.normal(ks[4], (cfg.R, N)))
+        HM = self._pad_frames(jnp.abs(jax.random.normal(ks[4], (cfg.R, N))), N_pad)
+        SX = self._pad_frames(SX, N_pad)
 
         (HGAMMA, HPHI, HF0, WM, HM), aux, err, _ = self._fit_fn(
-            SX, HGAMMA, HPHI, HF0, WM, HM
+            SX, HGAMMA, HPHI, HF0, WM, HM, jnp.int32(N)
         )
         WPHI, SPHI, SF0, SV, SM, hatSX = aux
+        cut = lambda M: M[:, :N]  # noqa: E731 — drop padded frame columns
         return dict(
-            HGAMMA=HGAMMA, HPHI=HPHI, HF0=HF0, WM=WM, HM=HM,
-            WPHI=WPHI, SPHI=SPHI, SF0=SF0, SV=SV, SM=SM, hatSX=hatSX,
-            err=float(err),
+            HGAMMA=HGAMMA, HPHI=cut(HPHI), HF0=cut(HF0), WM=WM, HM=cut(HM),
+            WPHI=WPHI, SPHI=cut(SPHI), SF0=cut(SF0), SV=cut(SV), SM=cut(SM),
+            hatSX=cut(hatSX), err=float(err),
         )
 
     # ------------------------------------------------------------------
     def _stereo_iteration(self, SXL, SXR, HGAMMA, HPHI, HF0, WM, HM,
-                          alphaL, alphaR, betaL, betaR):
+                          alphaL, alphaR, betaL, betaR, n_real=None):
         """One stereo sweep with per-channel gains (imm/tf_imm.py:354-618):
         updates HF0/HPHI/HM/HGAMMA/WM plus the channel gains alphaL/R and
-        per-basis panning betaL/R (exponent-0.1 damped updates)."""
+        per-basis panning betaL/R (exponent-0.1 damped updates).
+        n_real: see _iteration (padded-column hatSX pinning)."""
         cfg = self.config
         eps = jnp.float32(cfg.eps)
+        fix, fix1 = self._pad_fix(SXL.shape[1], n_real)
         WGAMMA = jnp.asarray(self.WGAMMA)
         WF0 = jnp.asarray(self.WF0)
 
@@ -317,44 +390,44 @@ class IMM:
         SF0 = WF0 @ HF0
         SML = (WM * betaL2[None, :]) @ HM
         SMR = (WM * betaR2[None, :]) @ HM
-        hatSXL = SPHIL * SF0 + SML
-        hatSXR = SPHIR * SF0 + SMR
+        hatSXL = fix(SPHIL * SF0 + SML)
+        hatSXR = fix(SPHIR * SF0 + SMR)
 
         # HF0
         PSX = WF0.T @ (
             SPHIL * SXL / (hatSXL**2 + eps) + SPHIR * SXR / (hatSXR**2 + eps)
         )
-        QSX = WF0.T @ (SPHIL / (hatSXL + eps) + SPHIR / (hatSXR + eps))
+        QSX = fix(WF0.T @ (SPHIL / (hatSXL + eps) + SPHIR / (hatSXR + eps)))
         HF0 = HF0 * PSX / (QSX + eps)
         SF0 = WF0 @ HF0
         SF0L, SF0R = alphaL**2 * SF0, alphaR**2 * SF0
-        hatSXL = SPHI * SF0L + SML
-        hatSXR = SPHI * SF0R + SMR
+        hatSXL = fix(SPHI * SF0L + SML)
+        hatSXR = fix(SPHI * SF0R + SMR)
 
         # HPHI
         PSX = WPHI.T @ (
             SF0L * SXL / (hatSXL**2 + eps) + SF0R * SXR / (hatSXR**2 + eps)
         )
-        QSX = WPHI.T @ (SF0L / (hatSXL + eps) + SF0R / (hatSXR + eps))
+        QSX = fix(WPHI.T @ (SF0L / (hatSXL + eps) + SF0R / (hatSXR + eps)))
         HPHI = HPHI * PSX / (QSX + eps)
-        norm = jnp.sum(HPHI, axis=0)
+        norm = fix1(jnp.sum(HPHI, axis=0))
         HPHI = HPHI / (norm + eps)[None, :]
         HF0 = HF0 * norm[None, :]
         SPHI = WPHI @ HPHI
         SF0 = WF0 @ HF0
         SF0L, SF0R = alphaL**2 * SF0, alphaR**2 * SF0
         SVL, SVR = SPHI * SF0L, SPHI * SF0R
-        hatSXL, hatSXR = SVL + SML, SVR + SMR
+        hatSXL, hatSXR = fix(SVL + SML), fix(SVR + SMR)
 
         # HM
         WML = WM * betaL2[None, :]
         WMR = WM * betaR2[None, :]
         PSX = WML.T @ (SXL / (hatSXL**2 + eps)) + WMR.T @ (SXR / (hatSXR**2 + eps))
-        QSX = WML.T @ (1.0 / (hatSXL + eps)) + WMR.T @ (1.0 / (hatSXR + eps))
+        QSX = fix(WML.T @ (1.0 / (hatSXL + eps)) + WMR.T @ (1.0 / (hatSXR + eps)))
         HM = HM * PSX / (QSX + eps)
         SML = WM @ (betaL2[:, None] * HM)
         SMR = WM @ (betaR2[:, None] * HM)
-        hatSXL, hatSXR = SVL + SML, SVR + SMR
+        hatSXL, hatSXR = fix(SVL + SML), fix(SVR + SMR)
 
         # HGAMMA
         PSX = WGAMMA.T @ (
@@ -367,7 +440,7 @@ class IMM:
         norm = jnp.sum(HGAMMA, axis=0)
         HGAMMA = HGAMMA / (norm + eps)[None, :]
         HPHI = HPHI * norm[:, None]
-        norm = jnp.sum(HPHI, axis=0)
+        norm = fix1(jnp.sum(HPHI, axis=0))
         HPHI = HPHI / (norm + eps)[None, :]
         HF0 = HF0 * norm[None, :]
         WPHI = WGAMMA @ HGAMMA
@@ -375,7 +448,7 @@ class IMM:
         SF0 = WF0 @ HF0
         SV = SPHI * SF0
         SVL, SVR = alphaL**2 * SV, alphaR**2 * SV
-        hatSXL, hatSXR = SVL + SML, SVR + SMR
+        hatSXL, hatSXR = fix(SVL + SML), fix(SVR + SMR)
 
         # WM
         HML = betaL2[:, None] * HM
@@ -388,7 +461,7 @@ class IMM:
         HM = HM * norm[:, None]
         SML = (WM * betaL2[None, :]) @ HM
         SMR = (WM * betaR2[None, :]) @ HM
-        hatSXL, hatSXR = SVL + SML, SVR + SMR
+        hatSXL, hatSXR = fix(SVL + SML), fix(SVR + SMR)
 
         # alpha (damped multiplicative update, exponent 0.1)
         PL = jnp.sum(SV * SXL / (hatSXL**2 + eps))
@@ -400,8 +473,8 @@ class IMM:
         alphaL, alphaR = alphaL + eps, alphaR + eps
         alphaL = alphaL / (alphaL + alphaR)
         alphaR = 1.0 - alphaL
-        hatSXL = alphaL**2 * SV + SML
-        hatSXR = alphaR**2 * SV + SMR
+        hatSXL = fix(alphaL**2 * SV + SML)
+        hatSXR = fix(alphaR**2 * SV + SMR)
 
         # beta
         PL = jnp.sum((WM.T @ (SXL / (hatSXL**2 + eps))) * HM, axis=1)
@@ -419,9 +492,12 @@ class IMM:
         SVL, SVR = SPHIL * SF0, SPHIR * SF0
         SML = (WM * betaL2[None, :]) @ HM
         SMR = (WM * betaR2[None, :]) @ HM
-        hatSXL, hatSXR = SVL + SML, SVR + SMR
+        hatSXL, hatSXR = fix(SVL + SML), fix(SVR + SMR)
 
-        err = 0.5 * (self._is_divergence(SXL, hatSXL) + self._is_divergence(SXR, hatSXR))
+        err = 0.5 * (
+            self._is_divergence(SXL, hatSXL, n_real)
+            + self._is_divergence(SXR, hatSXR, n_real)
+        )
         state = (HGAMMA, HPHI, HF0, WM, HM, alphaL, alphaR, betaL, betaR)
         aux = (SVL, SVR, SML, SMR, hatSXL, hatSXR)
         return state, aux, err
@@ -434,28 +510,33 @@ class IMM:
         SXL = jnp.asarray(SXL, jnp.float32).T
         SXR = jnp.asarray(SXR, jnp.float32).T
         N = SXL.shape[1]
+        N_pad = self._frame_bucket(N)
         key = jax.random.PRNGKey(seed)
         ks = jax.random.split(key, 5)
         state = (
             jnp.abs(jax.random.normal(ks[0], (cfg.P, cfg.K))),
-            jnp.abs(jax.random.normal(ks[1], (cfg.K, N))),
-            jnp.asarray(sHF0, jnp.float32),
+            self._pad_frames(jnp.abs(jax.random.normal(ks[1], (cfg.K, N))), N_pad),
+            self._pad_frames(jnp.asarray(sHF0, jnp.float32), N_pad),
             jnp.abs(jax.random.normal(ks[2], (cfg.F, cfg.R))),
-            jnp.abs(jax.random.normal(ks[3], (cfg.R, N))),
+            self._pad_frames(jnp.abs(jax.random.normal(ks[3], (cfg.R, N))), N_pad),
             jnp.float32(0.5),
             jnp.float32(0.5),
             jax.random.uniform(ks[4], (cfg.R,)),
             jnp.float32(1.0) - jax.random.uniform(ks[4], (cfg.R,)),
         )
         (HGAMMA, HPHI, HF0, WM, HM, aL, aR, bL, bR), aux, err, _ = (
-            self._stereo_fit_fn(SXL, SXR, *state)
+            self._stereo_fit_fn(
+                self._pad_frames(SXL, N_pad), self._pad_frames(SXR, N_pad),
+                jnp.int32(N), *state,
+            )
         )
         SVL, SVR, SML, SMR, hatSXL, hatSXR = aux
+        cut = lambda M: M[:, :N]  # noqa: E731 — drop padded frame columns
         return dict(
-            HGAMMA=HGAMMA, HPHI=HPHI, HF0=HF0, WM=WM, HM=HM,
+            HGAMMA=HGAMMA, HPHI=cut(HPHI), HF0=cut(HF0), WM=WM, HM=cut(HM),
             alphaL=aL, alphaR=aR, betaL=bL, betaR=bR,
-            SVL=SVL, SVR=SVR, SML=SML, SMR=SMR,
-            hatSXL=hatSXL, hatSXR=hatSXR, err=float(err),
+            SVL=cut(SVL), SVR=cut(SVR), SML=cut(SML), SMR=cut(SMR),
+            hatSXL=cut(hatSXL), hatSXR=cut(hatSXR), err=float(err),
         )
 
     def _stereo_aux_from_state(
@@ -476,9 +557,11 @@ class IMM:
         SMR = (WM * betaR2[None, :]) @ HM
         return SVL, SVR, SML, SMR, SVL + SML, SVR + SMR
 
-    def _stereo_fit_loop(self, SXL, SXR, *state0):
+    def _stereo_fit_loop(self, SXL, SXR, n_real, *state0):
         def iterate(state):
-            new_state, _, err = self._stereo_iteration(SXL, SXR, *state)
+            new_state, _, err = self._stereo_iteration(
+                SXL, SXR, *state, n_real=n_real
+            )
             return new_state, err
 
         best_state, best_err, it = self._keep_best_while(iterate, tuple(state0))

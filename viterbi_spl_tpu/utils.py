@@ -9,7 +9,12 @@ the reference as having essentially none):
   hot paths (the reference only ad-hoc time.time()s its Viterbi variants),
 - initialize_distributed — jax distributed runtime bring-up for multi-host
   slices (ICI within a slice, DCN across hosts),
-- device_summary — chip inventory for logs.
+- device_summary — chip inventory for logs,
+- shape_bucket — the geometric padded-shape policy that bounds XLA/Mosaic
+  recompilation on ragged real-corpus shapes (every jit specializes on
+  shape, and remote TPU compiles cost 30-300 s: an arbitrary-length
+  per-track eval like the reference's imm/main_imm.py:1139-1180 must pad
+  to O(log T) buckets instead of compiling per length).
 """
 
 from __future__ import annotations
@@ -17,6 +22,25 @@ from __future__ import annotations
 import contextlib
 import logging
 import time
+
+
+def shape_bucket(
+    n: int, quantum: int, ratio: float = 1.25, minimum: int | None = None
+) -> int:
+    """Smallest bucket >= n from the geometric grid {minimum, ~ratio x, ...}
+    where every bucket is a multiple of `quantum`.
+
+    Buckets waste at most ~(ratio-1) padded compute while keeping the number
+    of distinct compiled shapes O(log n / log ratio). quantum keeps padded
+    dims tile-friendly (frame-block multiples for the decoders, lane
+    multiples for NMF frame columns)."""
+    if n <= 0:
+        raise ValueError(f"shape_bucket needs n >= 1, got {n}")
+    b = minimum if minimum is not None else quantum
+    assert b % quantum == 0 and b > 0
+    while b < n:
+        b = -(-int(b * ratio) // quantum) * quantum
+    return b
 
 
 def configure_logging(debug: bool = False) -> None:
