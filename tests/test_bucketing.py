@@ -153,3 +153,70 @@ def test_imm_stereo_fit_bucket_invariant(rng):
         va, vb = np.asarray(a[k]), np.asarray(b[k])
         np.testing.assert_allclose(va, vb, rtol=2e-3, atol=1e-5, err_msg=k)
         assert not np.isnan(va).any(), k
+
+
+def test_ragged_snippet_inference_bucketed_and_exact(rng):
+    """Ragged final snippets (dcnet/msnet families) are bucket-padded with
+    exact frame masking: the compiled forward shapes are bounded; masking
+    is bit-exact at op level (second half of the test), and the jitted
+    bucket forward matches the per-length forward to XLA vectorization ulp
+    (~1e-7, shape-dependent fusion)."""
+    import dataclasses
+
+    from viterbi_spl_tpu.apps import msnet as msnet_app
+    from viterbi_spl_tpu.apps.common import (
+        model_logits_for_dataset, synthetic_dataset,
+    )
+    from viterbi_spl_tpu.harness.train import TrainState
+
+    cfg = dataclasses.replace(msnet_app.config(), snippet_len=64)
+    # mixed ragged track lengths: tails of 33, 47, 55 frames
+    datasets = {}
+    for i, frames in enumerate((97, 111, 119)):
+        ds = synthetic_dataset(cfg, n_tracks=1, frames=frames, seed=i)
+        datasets[i] = ds
+    model = cfg.make_model(dtype=cfg.compute_dtype)
+    sample = jnp.asarray(datasets[0][0].spectrogram[:8][None])
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=None,
+    )
+
+    shapes = []
+    orig_apply = type(model).apply
+
+    def spy(self, variables, x, *a, **kw):
+        shapes.append(tuple(x.shape))
+        return orig_apply(self, variables, x, *a, **kw)
+
+    exact_cfg = dataclasses.replace(cfg, supports_valid_frames=False)
+    for i, ds in datasets.items():
+        try:
+            type(model).apply = spy
+            bucketed = model_logits_for_dataset(cfg, model, state, ds)
+        finally:
+            type(model).apply = orig_apply
+        exact = model_logits_for_dataset(exact_cfg, model, state, ds)
+        for a, b in zip(bucketed, exact):
+            np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+    # tail lengths 33/47/55 all served by the SAME bucket shape (64);
+    # only full-snippet (64) and bucket (64) shapes were compiled
+    tdims = {s[1] for s in shapes}
+    assert tdims == {64}, shapes
+
+    # op-level bitwise exactness of the masking itself (no jit, so the
+    # same per-op kernels run on both sides)
+    spec = datasets[0][0].spectrogram[:33]
+    want = np.asarray(
+        model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                    jnp.asarray(spec)[None], train=False)
+    )
+    padded = np.zeros((64, *spec.shape[1:]), spec.dtype)
+    padded[:33] = spec
+    got = np.asarray(
+        model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                    jnp.asarray(padded)[None], train=False, valid_frames=33)
+    )
+    np.testing.assert_array_equal(want, got[:, :33])

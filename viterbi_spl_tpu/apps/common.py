@@ -56,6 +56,11 @@ class AppConfig:
     # mixed precision: compute dtype for the model's convs/denses/LSTMs
     # (params, BatchNorm statistics, losses, and logits stay float32)
     compute_dtype: object = jnp.float32
+    # the model accepts valid_frames= and masks padded frames exactly
+    # (dcnet/msnet): ragged final snippets are bucket-padded to O(log T)
+    # compiled shapes; logits match the per-length forward to XLA
+    # vectorization ulp (models/dcnet.py docstring, tests/test_bucketing.py)
+    supports_valid_frames: bool = False
 
 
 def synthetic_dataset(
@@ -158,10 +163,30 @@ def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset):
             out_list.append(logits[:T])
         return out_list
 
+    @jax.jit
+    def forward_masked(spec, valid):
+        if cfg.input_adapter is not None:
+            spec = cfg.input_adapter(spec)
+        return model.apply(variables, spec, train=False, valid_frames=valid)
+
     per_track: dict[int, list[np.ndarray]] = {}
     for item in inference_snippets(dataset, cfg.snippet_len):
-        out = forward(jnp.asarray(item["spectrogram"])[None])
-        logits = np.asarray(cfg.logits_adapter(out))[0]
+        spec = item["spectrogram"]
+        T_snip = spec.shape[0]
+        if cfg.supports_valid_frames and T_snip < cfg.snippet_len:
+            # ragged final snippet: bucket-pad and mask (the model zeroes
+            # padded frames before every time-mixing conv; op-level
+            # bit-exact, ~1e-7 under jit — tests/test_bucketing.py)
+            from ..utils import shape_bucket
+
+            T_b = min(shape_bucket(T_snip, quantum=32), cfg.snippet_len)
+            padded = np.zeros((T_b, *spec.shape[1:]), spec.dtype)
+            padded[:T_snip] = spec
+            out = forward_masked(jnp.asarray(padded)[None], jnp.int32(T_snip))
+            logits = np.asarray(cfg.logits_adapter(out))[0, :T_snip]
+        else:
+            out = forward(jnp.asarray(spec)[None])
+            logits = np.asarray(cfg.logits_adapter(out))[0]
         per_track.setdefault(item["rec_idx"], []).append(logits)
     return [
         np.concatenate(per_track[i], axis=0)[: dataset[i].num_frames]

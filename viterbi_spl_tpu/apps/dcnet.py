@@ -19,6 +19,7 @@ def config() -> AppConfig:
         batch_size=1,
         learning_rate=1e-4,
         feature_shape=(500,),
+        supports_valid_frames=True,
     )
 
 

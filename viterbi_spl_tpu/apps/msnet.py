@@ -18,6 +18,7 @@ def config() -> AppConfig:
         batch_size=1,
         learning_rate=1e-4,
         feature_shape=(320, 3),
+        supports_valid_frames=True,
     )
 
 

@@ -34,13 +34,28 @@ class DCNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_frames=None):
         # x: [B, T, 500]
+        # valid_frames (optional scalar): frames >= valid_frames are bucket
+        # padding. Zeroing them immediately before every time-mixing conv
+        # reproduces the exact SAME-padding zeros a valid_frames-length run
+        # would see, so logits[:, :valid_frames] are op-level identical to
+        # running the unpadded input (under jit, XLA's shape-dependent
+        # vectorization adds ~1e-7 ulp noise; tests/test_bucketing.py pins
+        # both) — one compiled shape serves a whole bucket of
+        # ragged snippet lengths (utils.shape_bucket; eval only, where
+        # BatchNorm uses running stats and frames never mix elsewhere).
         if x.ndim != 3 or x.shape[-1] != self.n_freq_in:
             raise ValueError(f"expected [B, T, {self.n_freq_in}], got {x.shape}")
         h = x[..., None]
+        tmask = None
+        if valid_frames is not None:
+            t = jnp.arange(x.shape[1])
+            tmask = (t < valid_frames)[None, :, None, None]
 
         for layer_idx in range(4):
+            if tmask is not None:
+                h = jnp.where(tmask, h, 0.0)
             h = nn.Conv(
                 features=16,
                 kernel_size=(5, 5) if layer_idx == 0 else (3, 5),

@@ -48,11 +48,22 @@ class MSNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_frames=None):
         # x: [B, T, 320, 3]
+        # valid_frames (optional scalar): frames >= valid_frames are bucket
+        # padding — zeroed immediately before every time-mixing conv (i.e.
+        # AFTER each BatchNorm, which maps padded zeros to a nonzero
+        # per-channel constant) so logits[:, :valid_frames] are identical
+        # to running the unpadded input (eval only; see DCNet.__call__).
         if x.ndim != 4 or x.shape[2] != self.n_bins:
             raise ValueError(f"expected [B, T, {self.n_bins}, 3], got {x.shape}")
         h = x
+        tmask = None
+        if valid_frames is not None:
+            tmask = (jnp.arange(x.shape[1]) < valid_frames)[None, :, None, None]
+        zpad = (lambda a: a) if tmask is None else (
+            lambda a: jnp.where(tmask, a, 0.0)
+        )
         argmaxes = []
         for layer_idx, ch in enumerate((32, 64, 128)):
             h = nn.BatchNorm(
@@ -61,6 +72,7 @@ class MSNet(nn.Module):
                 use_bias=False,
                 name=f"enc_bn_{layer_idx}",
             )(h)
+            h = zpad(h)
             h = nn.Conv(
                 ch,
                 (5, 5),
@@ -79,6 +91,7 @@ class MSNet(nn.Module):
         nm = nn.BatchNorm(
             use_running_average=not train, use_scale=False, name="nm_bn"
         )(encoder_out)
+        nm = zpad(nm)
         nm = jnp.pad(nm, [(0, 0), (2, 2), (0, 0), (0, 0)])
         nm = nn.Conv(1, (5, 5), padding="VALID", use_bias=True, dtype=self.dtype,
                      name="nm_conv")(nm)
@@ -97,6 +110,7 @@ class MSNet(nn.Module):
                     use_bias=False,
                     name=f"dec_bn_{layer_idx}",
                 )(h)
+                h = zpad(h)
                 h = nn.Conv(
                     dec_ch[layer_idx],
                     (5, 5),
@@ -111,6 +125,7 @@ class MSNet(nn.Module):
                 h = nn.BatchNorm(
                     use_running_average=not train, use_scale=False, name="dec_bn_0"
                 )(h)
+                h = zpad(h)
                 h = nn.Conv(1, (5, 5), padding="SAME", use_bias=True,
                             dtype=self.dtype, name="dec_conv_0")(h)
 
