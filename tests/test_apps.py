@@ -167,3 +167,43 @@ def test_app_native_prefetch_training(tmp_path):
          "--native-prefetch"]
     )
     assert state.best_oa > -1
+
+
+def test_mesh_data_parallel_training_matches_single_device(tmp_path):
+    """--mesh data=4 must reproduce the single-device loss curve at the
+    same global batch (GSPMD data parallelism changes only the sharding,
+    not the computation; reduction-order ulp tolerance)."""
+    import dataclasses
+    import json
+
+    from viterbi_spl_tpu.apps import msnet as msnet_app
+    from viterbi_spl_tpu.apps.common import app_main
+
+    losses = {}
+    for tag, extra in (("single", []), ("mesh", ["--mesh", "data=4"])):
+        # snippet_len divides the 400-frame debug tracks: no ragged
+        # snippets, so both runs draw byte-identical batch streams
+        cfg = dataclasses.replace(
+            msnet_app.config(), batch_size=4, snippet_len=50
+        )
+        log_dir = tmp_path / f"log_{tag}"
+        app_main(
+            cfg, None,
+            ["train", "--synthetic", "--debug", "--epochs", "2",
+             "--steps-per-epoch", "3", "--patience", "3",
+             "--ckpt", str(tmp_path / f"ck_{tag}"),
+             "--log-dir", str(log_dir)] + extra,
+        )
+        events = [
+            json.loads(line)
+            for line in (log_dir / "events.jsonl").read_text().splitlines()
+        ]
+        losses[tag] = [
+            e["value"] for e in events
+            if e.get("kind") == "scalar" and e.get("tag") == "train_loss"
+        ]
+
+    assert len(losses["single"]) == 2
+    np.testing.assert_allclose(
+        losses["mesh"], losses["single"], rtol=1e-4
+    )
