@@ -200,3 +200,46 @@ def test_mldrnet_shapes():
     out, _ = init_and_apply(MLDRnet(), x)
     assert out.shape == (1, 361, 16)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize(
+    "mode,backbone",
+    [
+        ("spat", "ftanet"),
+        ("spl", "ftanet"),
+        ("tcfp", "ftanet"),
+        ("single", "ftanet"),
+        ("all", "mcdnn"),
+        ("single", "msnet"),
+        ("single", "mldrnet"),
+    ],
+)
+def test_tonet_ablation_variants(mode, backbone):
+    """Backbone/mode ablations of the original TONet training module
+    (tonet/model/tonet.py:24-265): forward shapes per variant, and the
+    loss handles the pitch-only modes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viterbi_spl_tpu.models.tonet import TONet
+    from viterbi_spl_tpu.models.targets import tonet_loss
+
+    B, T = 1, 16
+    model = TONet(mode=mode, backbone=backbone)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, 3, 360, T)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["pitch"].shape == (B, 361, T)
+    if mode in ("tcfp", "single"):
+        assert out["chroma"] is None and out["octave"] is None
+    else:
+        assert out["chroma"].shape == (B, 13, T)
+        assert out["octave"].shape == (B, 7, T)
+    notes = jnp.asarray(
+        np.where(np.random.default_rng(1).random((B, T)) < 0.3, 0.0, 60.0),
+        jnp.float32,
+    )
+    loss = float(tonet_loss(notes, out))
+    assert np.isfinite(loss)

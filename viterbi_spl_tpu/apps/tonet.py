@@ -81,7 +81,35 @@ def build_real_datasets(debug: bool = False):
 
 
 def main(argv=None):
-    return app_main(config(), build_real_datasets, argv)
+    """TONet app with the reference's ablation axes: --backbone and --mode
+    (tonet/model/tonet.py:24-265) are consumed here and baked into the
+    model factory; everything else flows to the shared app template."""
+    import argparse
+    import dataclasses
+    import sys
+
+    from ..models.tonet import TONET_BACKBONES, TONET_MODES
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--backbone", default="ftanet", choices=TONET_BACKBONES,
+                     help="acoustic backbone for both branches")
+    pre.add_argument("--mode", default="all", choices=TONET_MODES,
+                     help="TONet ablation mode: all (dual+transformer), "
+                          "spat (single+transformer), spl (single+linear), "
+                          "tcfp (dual, direct fusion), single (bare "
+                          "backbone)")
+    known, rest = pre.parse_known_args(
+        argv if argv is not None else sys.argv[1:]
+    )
+    cfg = config()
+    if known.backbone != "ftanet" or known.mode != "all":
+        cfg = dataclasses.replace(
+            cfg,
+            make_model=lambda **kw: TONet(
+                mode=known.mode, backbone=known.backbone, **kw
+            ),
+        )
+    return app_main(cfg, build_real_datasets, rest)
 
 
 if __name__ == "__main__":

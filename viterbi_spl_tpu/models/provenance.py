@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -41,6 +42,67 @@ class MCDNN(nn.Module):
         bm = mlp(h, (512, 128, 1), "bm", last_selu=True)
         out = jnp.concatenate([bm, pitch], axis=-1)  # [B, T, 361]
         return jnp.transpose(out, (0, 2, 1))
+
+
+def _pool_freq_argmax(x, g: int):
+    """[B, F, T, C] -> ([B, F//g, T, C] max-pooled over freq groups of g,
+    in-group argmax) — MaxPool2d((g,1), return_indices=True) semantics."""
+    B, F, T, C = x.shape
+    grp = x.reshape(B, F // g, g, T, C)
+    return jnp.max(grp, axis=2), jnp.argmax(grp, axis=2)
+
+
+def _unpool_freq(x, idx, g: int):
+    """Inverse of _pool_freq_argmax: scatter values to their argmax slots."""
+    B, Fp, T, C = x.shape
+    onehot = jax.nn.one_hot(idx, g, axis=2, dtype=x.dtype)  # [B,Fp,g,T,C]
+    return (x[:, :, None] * onehot).reshape(B, Fp * g, T, C)
+
+
+class TonetMSNet(nn.Module):
+    """The 360-bin MSnet backbone variant TONet ablates against
+    (tonet/model/msnet.py:6-72): freq pools 4/3/6 with argmax unpooling,
+    a 5-bin VALID "bottom" conv producing the non-melody row. Input
+    [B, 3, 360, T] (tonet layout) -> pre-softmax logits [B, 361, T]
+    (non-melody row first)."""
+
+    freq_bin: int = 360
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        h = jnp.transpose(x, (0, 2, 3, 1))  # [B, F, T, 3]
+
+        def block(h, ch, name):
+            h = nn.BatchNorm(use_running_average=not train,
+                             name=f"{name}_bn")(h)
+            h = nn.Conv(ch, (5, 5), padding="SAME", use_bias=True, dtype=dt,
+                        name=f"{name}_conv")(h)
+            return nn.selu(h)
+
+        inds = []
+        for i, (ch, g) in enumerate(((32, 4), (64, 3), (128, 6))):
+            h = block(h, ch, f"enc_{i}")
+            h, idx = _pool_freq_argmax(h, g)
+            inds.append((idx, g))
+        # h: [B, 5, T, 128]
+
+        bm = nn.BatchNorm(use_running_average=not train, name="bm_bn")(h)
+        bm = nn.Conv(1, (5, 5), padding=((0, 0), (2, 2)), use_bias=True,
+                     dtype=dt, name="bm_conv")(bm)
+        bm = nn.selu(bm)  # [B, 1, T, 1]
+
+        for i, ch in zip((2, 1, 0), (64, 32, 1)):
+            idx, g = inds[i]
+            h = _unpool_freq(h, idx, g)
+            h = block(h, ch, f"dec_{i}")
+        # h: [B, 360, T, 1]
+
+        out = jnp.concatenate(
+            [bm.astype(jnp.float32), h.astype(jnp.float32)], axis=1
+        )
+        return out[..., 0]  # [B, 361, T]
 
 
 class _MultiDilation(nn.Module):

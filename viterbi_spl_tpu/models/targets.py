@@ -124,7 +124,9 @@ def tonet_labels(ref_notes):
 @jax.jit
 def tonet_loss(ref_notes, logits):
     """Mean of 3 cross-entropies on integer pitch/chroma/octave labels
-    (tonet/main_shaun.py:298-315). logits: dict of [B, C, T] tensors."""
+    (tonet/main_shaun.py:298-315). logits: dict of [B, C, T] tensors;
+    chroma/octave may be None (the tcfp/single TONet ablations train on
+    the pitch CE alone, tonet/model/tonet.py:278-300)."""
     labels = tonet_labels(ref_notes)
 
     def ce(lg, lb):
@@ -133,7 +135,11 @@ def tonet_loss(ref_notes, logits):
             jax.nn.log_softmax(lg, axis=-1), lb[..., None], axis=-1
         )[..., 0]
 
-    losses = [ce(logits[k], labels[k]) for k in ("pitch", "chroma", "octave")]
+    losses = [
+        ce(logits[k], labels[k])
+        for k in ("pitch", "chroma", "octave")
+        if logits.get(k) is not None
+    ]
     return jnp.mean(jnp.stack(losses, axis=-1))
 
 

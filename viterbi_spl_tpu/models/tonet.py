@@ -217,74 +217,152 @@ class _MLPDecoder(nn.Module):
         return x
 
 
+TONET_MODES = ("all", "spat", "spl", "tcfp", "single")
+TONET_BACKBONES = ("ftanet", "mcdnn", "msnet", "mldrnet")
+
+
 class TONet(nn.Module):
+    """TONet with the original training module's ablation axes
+    (tonet/model/tonet.py:24-265):
+
+    mode — "all" (dual backbone + transformer tone/octave decoders, the
+      retrained headline variant), "spat" (single backbone + transformer
+      decoders), "spl" (single backbone + linear decoders, the GRU-replaced
+      variant the reference ships commented out), "tcfp" (dual backbone,
+      direct 720->360 fusion, no tone/octave decoders), "single" (the bare
+      backbone).
+    backbone — "ftanet" | "mcdnn" | "msnet" | "mldrnet"
+      (tonet/model/{ftanet,mcdnn,msnet,multi_dr}.py), applied to both
+      branches in the dual modes.
+
+    Convention: the non-melody row comes FIRST in every output (class 0),
+    matching tonet_shaun_simple.py and this framework's adapters; the
+    original module appends it LAST for the spl/spat modes — equivalent up
+    to class order. Returns dict(pitch[, chroma, octave]); chroma/octave
+    are None for the tcfp/single modes (the reference trains those on the
+    pitch CE alone, tonet/model/tonet.py:278-300)."""
+
     freq_bin: int = 360
     tone_class: int = 12
     octave_class: int = 6
     attn_dim: int = 2048
     seg_frame: int = 128
+    mode: str = "all"
+    backbone: str = "ftanet"
     # compute dtype (mixed precision); params, norms, softmaxes, and the
     # returned logits stay f32
     dtype: Any = jnp.float32
+
+    def _run_backbone(self, name: str, x, train: bool):
+        dt = self.dtype
+        if self.backbone == "ftanet":
+            return TorchFTAnet(self.freq_bin, dtype=dt, name=name)(
+                jnp.transpose(x, (0, 2, 3, 1)), train
+            )
+        from .provenance import MCDNN, MLDRnet, TonetMSNet
+
+        cls = {"mcdnn": MCDNN, "msnet": TonetMSNet, "mldrnet": MLDRnet}[
+            self.backbone
+        ]
+        return cls(self.freq_bin, dtype=dt, name=name)(x, train)
 
     @nn.compact
     def __call__(self, cfp, tcfp=None, train: bool = False):
         # cfp: [B, 3, 360, T]
         if cfp.ndim != 4 or cfp.shape[1] != 3 or cfp.shape[2] != self.freq_bin:
             raise ValueError(f"expected [B, 3, {self.freq_bin}, T], got {cfp.shape}")
-        if tcfp is None:
-            tcfp = cfp_to_tcfp(cfp)
-
-        def to_nhwc(x):  # [B, 3, F, T] -> [B, F, T, 3]
-            return jnp.transpose(x, (0, 2, 3, 1))
-
+        if self.mode not in TONET_MODES:
+            raise ValueError(f"unknown TONet mode {self.mode!r}")
+        if self.backbone not in TONET_BACKBONES:
+            raise ValueError(f"unknown TONet backbone {self.backbone!r}")
         dt = self.dtype
-        out_l = TorchFTAnet(self.freq_bin, dtype=dt, name="l_model")(to_nhwc(cfp), train)
-        out_r = TorchFTAnet(self.freq_bin, dtype=dt, name="r_model")(to_nhwc(tcfp), train)
+
+        out_l = self._run_backbone("l_model", cfp, train)
+        if self.mode == "single":
+            return dict(pitch=out_l, chroma=None, octave=None)
 
         bm_l, feat_l = out_l[:, :1, :], out_l[:, 1:, :]
-        bm_r, feat_r = out_r[:, :1, :], out_r[:, 1:, :]
-        feature_agg = jnp.concatenate([feat_l, feat_r], axis=1)  # [B, 720, T]
-        bm_agg = jnp.concatenate([bm_l, bm_r], axis=1)  # [B, 2, T]
+        dual = self.mode in ("all", "tcfp")
+        if dual:
+            if tcfp is None:
+                tcfp = cfp_to_tcfp(cfp)
+            out_r = self._run_backbone("r_model", tcfp, train)
+            bm_r, feat_r = out_r[:, :1, :], out_r[:, 1:, :]
+            feature_agg = jnp.concatenate([feat_l, feat_r], axis=1)  # [B,720,T]
+            bm_agg = jnp.concatenate([bm_l, bm_r], axis=1)  # [B, 2, T]
+        else:  # spat / spl: the single branch's features
+            feature_agg = feat_l  # [B, 360, T]
+            bm_agg = bm_l  # [B, 1, T]
 
-        # tcfp fusion convs over time (channels = freq bins)
-        fa = jnp.swapaxes(feature_agg, 1, 2)  # [B, T, 720]
-        feature_agg_mi = nn.selu(
-            nn.Conv(self.freq_bin, (5,), padding="SAME", dtype=dt,
-                    name="tcfp_linear")(fa)
-        ).astype(jnp.float32)
-        feature_agg_mi = jnp.swapaxes(feature_agg_mi, 1, 2)  # [B, 360, T]
-        ba = jnp.swapaxes(bm_agg, 1, 2)  # [B, T, 2]
-        bm_agg_mi = nn.selu(
-            nn.Conv(1, (5,), padding="SAME", dtype=dt, name="tcfp_bm")(ba)
-        ).astype(jnp.float32)
-        bm_agg_mi = jnp.swapaxes(bm_agg_mi, 1, 2)  # [B, 1, T]
+        if self.mode == "tcfp":
+            # direct fusion: Linear(720 -> 360) + SELU per frame, bm 2 -> 1
+            # (tonet/model/tonet.py:139-151, 219-235)
+            fa = jnp.swapaxes(feature_agg, 1, 2)  # [B, T, 720]
+            fin = nn.selu(
+                nn.Dense(self.freq_bin, dtype=dt, name="final_linear_tcfp")(fa)
+            ).astype(jnp.float32)
+            ba = jnp.swapaxes(bm_agg, 1, 2)  # [B, T, 2]
+            fbm = nn.selu(
+                nn.Dense(1, dtype=dt, name="final_bm")(ba)
+            ).astype(jnp.float32)
+            pitch = jnp.concatenate(
+                [jnp.swapaxes(fbm, 1, 2), jnp.swapaxes(fin, 1, 2)], axis=1
+            )  # [B, 361, T]
+            return dict(pitch=pitch, chroma=None, octave=None)
+
+        fa = jnp.swapaxes(feature_agg, 1, 2)  # [B, T, 720] ("all") / 360
+        ba = jnp.swapaxes(bm_agg, 1, 2)  # [B, T, 2] ("all") / 1
+        if dual:
+            # "all": tcfp fusion convs over time (channels = freq bins)
+            feature_agg_mi = nn.selu(
+                nn.Conv(self.freq_bin, (5,), padding="SAME", dtype=dt,
+                        name="tcfp_linear")(fa)
+            ).astype(jnp.float32)
+            feature_agg_mi = jnp.swapaxes(feature_agg_mi, 1, 2)  # [B, 360, T]
+            bm_agg_mi = nn.selu(
+                nn.Conv(1, (5,), padding="SAME", dtype=dt, name="tcfp_bm")(ba)
+            ).astype(jnp.float32)
+            bm_agg_mi = jnp.swapaxes(bm_agg_mi, 1, 2)  # [B, 1, T]
+        else:
+            # spat/spl: the raw single-branch features flow into the final
+            # fusion (tonet/model/tonet.py:236-263)
+            feature_agg_mi = feature_agg  # [B, 360, T]
+            bm_agg_mi = bm_agg  # [B, 1, T]
 
         # tone / octave decoders
         pos = jnp.asarray(sinusoid_table(self.seg_frame, self.attn_dim))
 
         def branch(name, widths, n_cls):
-            h = nn.Dense(self.attn_dim, dtype=dt, name=f"{name}_in")(fa)
-            h = h.astype(jnp.float32) + pos[None, : h.shape[1], :]
-            h = nn.Dropout(0.2, deterministic=not train)(h)
-            h = nn.LayerNorm(epsilon=1e-6, name=f"{name}_norm")(h)
-            for i in range(2):
-                h = CombineLayer(
-                    self.attn_dim, self.attn_dim * 2, dtype=dt,
-                    name=f"{name}_attn_{i}",
-                )(h, train)
+            if self.mode == "spl":
+                # linear stand-in for the BiGRU (reference ships the GRU
+                # commented out, tonet/model/tonet.py:62-72): 2*gru_dim
+                h = nn.Dense(1024, dtype=dt, name=f"{name}_gru")(fa)
+            else:
+                h = nn.Dense(self.attn_dim, dtype=dt, name=f"{name}_in")(fa)
+                h = h.astype(jnp.float32) + pos[None, : h.shape[1], :]
+                h = nn.Dropout(0.2, deterministic=not train)(h)
+                h = nn.LayerNorm(epsilon=1e-6, name=f"{name}_norm")(h)
+                for i in range(2):
+                    h = CombineLayer(
+                        self.attn_dim, self.attn_dim * 2, dtype=dt,
+                        name=f"{name}_attn_{i}",
+                    )(h, train)
             h = _MLPDecoder(widths + (n_cls,), dtype=dt, name=f"{name}_linear")(h, train)
             return jnp.swapaxes(h.astype(jnp.float32), 1, 2)  # [B, n_cls, T]
 
         tone_prob = branch("tone", (512, 128), self.tone_class)
         octave_prob = branch("octave", (256, 64), self.octave_class)
 
-        tone_bm = nn.selu(nn.Dense(1, dtype=dt, name="tone_bm")(ba)).astype(
-            jnp.float32
-        )  # [B, T, 1]
-        octave_bm = nn.selu(nn.Dense(1, dtype=dt, name="octave_bm")(ba)).astype(
-            jnp.float32
-        )
+        if dual:
+            tone_bm = nn.selu(nn.Dense(1, dtype=dt, name="tone_bm")(ba)).astype(
+                jnp.float32
+            )  # [B, T, 1]
+            octave_bm = nn.selu(
+                nn.Dense(1, dtype=dt, name="octave_bm")(ba)
+            ).astype(jnp.float32)
+        else:
+            # spat/spl: the raw bm row joins the class axes directly
+            tone_bm = octave_bm = ba.astype(jnp.float32)  # [B, T, 1]
         tone_prob = jnp.concatenate(
             [jnp.swapaxes(tone_bm, 1, 2), tone_prob], axis=1
         )  # [B, 13, T]
