@@ -1,0 +1,138 @@
+"""Multi-process (DCN-shaped) distributed bring-up.
+
+Spawns two OS processes that join one jax distributed runtime through
+utils.initialize_distributed (CPU backend, 2 local devices each -> a
+4-device global mesh across a real process boundary), then runs
+
+  1. a jitted global all-reduce (the gradient-sync primitive), and
+  2. decode_tracks_sharded over a "data"-sharded global batch, each
+     process oracle-checking its addressable shards,
+
+asserting both processes agree. This is the process-boundary validation
+BASELINE config 5 calls for; single-process mesh tests live in
+tests/test_dist.py. Skips when the platform forbids the coordinator
+(sandboxes without localhost sockets).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+process_id, num, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+from viterbi_spl_tpu.utils import initialize_distributed
+
+initialize_distributed(
+    coordinator_address="127.0.0.1:" + port,
+    num_processes=num,
+    process_id=process_id,
+)
+assert jax.process_count() == num, jax.process_count()
+assert len(jax.devices()) == num * 2, len(jax.devices())
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from viterbi_spl_tpu.dist import decode_tracks_sharded
+from viterbi_spl_tpu.hmm.oracle import viterbi_oracle
+from viterbi_spl_tpu.hmm.viterbi import log_obs_fn, prepare_log_params
+
+devices = np.asarray(jax.devices()).reshape(len(jax.devices()), 1)
+mesh = Mesh(devices, ("data", "seq"))
+
+# ---- 1. global all-reduce across the process boundary ----
+sharding = NamedSharding(mesh, P("data"))
+N = len(jax.devices())
+full = np.arange(N * 4, dtype=np.float32).reshape(N, 4)
+arr = jax.make_array_from_callback(
+    full.shape, sharding, lambda idx: full[idx]
+)
+total = float(jax.jit(jnp.sum)(arr))
+assert total == float(full.sum()), (total, full.sum())
+
+# ---- 2. track-parallel decode with tracks sharded across processes ----
+rng = np.random.default_rng(0)  # same seed everywhere: shared global data
+S, T = 33, 64
+A = rng.random((S, S)).astype(np.float64) ** 2 + np.eye(S) * 3
+A /= A.sum(1, keepdims=True)
+pi = rng.random(S); pi /= pi.sum()
+obs = rng.random((N, T, S)).astype(np.float32) ** 2
+obs /= obs.sum(-1, keepdims=True)
+
+log_B, log_pi = prepare_log_params(A, pi)
+log_obs = np.asarray(log_obs_fn(jnp.asarray(obs)))
+log_obs_g = jax.make_array_from_callback(
+    log_obs.shape, NamedSharding(mesh, P("data", None, None)),
+    lambda idx: log_obs[idx],
+)
+states = decode_tracks_sharded(
+    jnp.asarray(log_B), jnp.asarray(log_pi), log_obs_g, mesh
+)
+# verify this process's addressable tracks against the oracle
+for shard in states.addressable_shards:
+    i0 = shard.index[0].start or 0
+    got = np.asarray(shard.data)
+    for k in range(got.shape[0]):
+        expected = viterbi_oracle(
+            transition_matrix=A.astype(np.float32), prob_init=pi,
+            probs_st=obs[i0 + k].T,
+        )
+        np.testing.assert_array_equal(expected, got[k])
+
+print("WORKER_OK", process_id, flush=True)
+"""
+
+
+def test_two_process_distributed_decode(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(Path(__file__).parent.parent)]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process decode timed out:\n" + "\n".join(outs))
+
+    codes = [p.returncode for p in procs]
+    joined = "\n---\n".join(outs)
+    if any(c != 0 for c in codes) and (
+        "UNAVAILABLE" in joined or "Permission" in joined
+        or "failed to connect" in joined.lower()
+    ):
+        pytest.skip("platform forbids the distributed coordinator:\n" + joined)
+    assert codes == [0, 0], joined
+    assert "WORKER_OK 0" in joined and "WORKER_OK 1" in joined, joined
