@@ -209,6 +209,82 @@ def main():
 
         detail["serving_fused_obs_decode_fps"] = round(timed_srv(), 1)
 
+        # 722-bin serving chain (jdc configuration: 721 bins + unvoiced,
+        # spw=16, d_max=40, P=768) — obs kernel + banded decode end to end,
+        # oracle-checked on a short track 0 against the kernel's own
+        # log-observations (decode exactness; the obs kernel's tolerance
+        # contract is tested separately)
+        n_bins2, spw2, P2 = 721, 16, 768
+        S2 = n_bins2 + 1
+        N2, T2, T2_CHK = 64, 1 << 12, 1024
+        # free the 361-bin serving inputs first: logits + obs + t1m1 at
+        # [64, 4096, 768] is ~2.4 GB live, on top of the headline arrays
+        del padded
+        raw_logits = None  # noqa: F841 — drop the device reference
+        q2 = [np.clip(360 + np.cumsum(rng.integers(-3, 4, 5000)), 0, n_bins2 - 1)]
+        stats2 = hmm_params.count_statistics(q2, n_bins2)
+        A2 = hmm_params.shape_transition_matrix(
+            stats2.transition_counts,
+            np.array([[0.98, 0.02], [0.02, 0.98]]),
+            n_bins2,
+            40,
+            floor=2,
+        )
+        pi2 = hmm_params.shape_init_probs(stats2.p_steady, p_th=1e-4)
+        log_B2, log_pi2 = prepare_log_params(A2, pi2, pad_to=P2)
+        log_B2_d, log_pi2_d = jnp.asarray(log_B2), jnp.asarray(log_pi2)
+        bs2 = extract_banded_structure(A2, P2)
+        assert bs2 is not None
+
+        raw2 = jax.random.normal(
+            jax.random.PRNGKey(3), (N2, T2, n_bins2), jnp.float32
+        ) - 2.0
+        padded2 = jnp.asarray(
+            pad_logits_reflect(raw2, spw2, P2)
+        ).block_until_ready()
+        lens2_np = np.full(N2, T2, np.int32)
+        lens2_np[0] = T2_CHK
+        lens2 = jnp.asarray(lens2_np)
+
+        @jax.jit
+        def serve722(pl_in, l):
+            log_obs = shaun_log_obs_pallas(
+                pl_in, n_bins2, spw2, 0.0, block_frames=32, interpret=False
+            )
+            t1, t1m1 = viterbi_forward_pallas_banded_batch(
+                bs2, log_pi2_d, log_obs, l, block_frames=BLOCK,
+                interpret=False,
+            )
+            last = jnp.argmax(t1, axis=1).astype(jnp.int32)
+            return viterbi_backtrace_pallas_batch(
+                t1m1, log_B2_d, last, l, block_frames=BLOCK, interpret=False
+            )
+
+        states722 = serve722(padded2, lens2)
+        _ = int(jnp.sum(states722 % 7))
+        # oracle-check against the obs kernel's own log observations
+        # (materialized once, outside the timed path)
+        log_obs722_chk = np.asarray(
+            shaun_log_obs_pallas(
+                padded2[:8, :T2_CHK], n_bins2, spw2, 0.0, block_frames=32,
+                interpret=False,
+            )[0, :, :S2]
+        )
+        detail["serving_722_path_matches_oracle"] = bool(
+            _oracle_check(
+                log_obs722_chk, log_B2, log_pi2,
+                np.asarray(states722[0, :T2_CHK]), S2,
+            )
+        )
+
+        def timed_722():
+            t0 = time.perf_counter()
+            for _ in range(5):
+                _ = int(jnp.sum(serve722(padded2, lens2) % 7))
+            return int(lens2_np.sum()) / ((time.perf_counter() - t0) / 5)
+
+        detail["serving_fused_obs_decode_fps_722"] = round(timed_722(), 1)
+
     result = {
         "metric": "viterbi_decode_frames_per_sec_per_chip_361bins",
         "value": round(fps_banded, 1),

@@ -249,15 +249,16 @@ def _make_banded_forward_kernel(bs_key: tuple, N: int):
         )  # [1, 1]
 
         def step_max(prev, prev_uv):
-            """One banded max-plus step (pre-obs): incremental accumulation
-            (a short list of live tensors — the round-1 tree formulation
-            kept ~31 [N, P] candidates live and spilled to VMEM)."""
+            """One banded max-plus step (pre-obs). Per-class candidates
+            reduce in a BALANCED tree: ~9 live [N, P] tensors (the round-1
+            per-OFFSET tree kept ~31 and spilled), and the critical path
+            shrinks from len(classes) sequential maxes to log2."""
             voiced_prev = jnp.where(lane < n_bins, prev, NEG_PAD)
             max_voiced = jnp.max(voiced_prev, axis=1, keepdims=True)
             # out-of-band floor via the GLOBAL voiced max (exact; module
             # doc) and the unvoiced source, folded into one [N, 1] seed
             seed = jnp.maximum(max_voiced + LOG_TINY, prev_uv + log_c_uv)
-            acc = jnp.broadcast_to(seed, (N, P))
+            cands = [jnp.broadcast_to(seed, (N, P))]
             for ci, (offsets, kind, d_lo, d_hi) in enumerate(classes):
                 h = voiced_prev + bv_ref[ci, :][None, :]
                 if kind == "win":
@@ -268,16 +269,22 @@ def _make_banded_forward_kernel(bs_key: tuple, N: int):
                         sft = min(cover, w - cover)
                         m = jnp.maximum(m, pltpu.roll(m, (P - sft) % P, 1))
                         cover += sft
-                    acc = jnp.maximum(acc, m)
+                    cands.append(m)
                 else:
                     for d in offsets:
-                        hd = pltpu.roll(h, (-d) % P, 1) if d else h
-                        acc = jnp.maximum(acc, hd)
+                        cands.append(pltpu.roll(h, (-d) % P, 1) if d else h)
             # fallback path (wrap-unsafe padding): per-offset target-masked
             # band rows, no source profiles
             for d in singles:
                 shifted = pltpu.roll(prev, (-d) % P, 1)  # shifted[s] = prev[s+d]
-                acc = jnp.maximum(acc, shifted + band_ref[d + d_max, :][None, :])
+                cands.append(shifted + band_ref[d + d_max, :][None, :])
+            while len(cands) > 1:
+                cands = [
+                    jnp.maximum(cands[i], cands[i + 1])
+                    if i + 1 < len(cands) else cands[i]
+                    for i in range(0, len(cands), 2)
+                ]
+            acc = cands[0]
             # unvoiced target
             m_uv = jnp.maximum(max_voiced + log_c_vu, prev_uv + log_c_uu)
             # pad lanes (> n_bins) receive acc ~= seed + pad-obs each frame;
@@ -446,8 +453,13 @@ def viterbi_forward_pallas_banded_batch(
     # safe when rolls cannot wrap valid sources onto valid targets
     if classes and P < bs.n_bins + bs.d_max:
         classes, singles = (), tuple(range(-bs.d_max, bs.d_max + 1))
-    lengths_np = np.asarray(jax.device_get(jnp.asarray(lengths, jnp.int32)))
-    ragged = bool(np.any(lengths_np != T_pad))
+    if isinstance(lengths, jax.core.Tracer):
+        # called under an outer jit: lengths are unknown at trace time, so
+        # build the (always-correct) ragged specialization
+        ragged = True
+    else:
+        lengths_np = np.asarray(jax.device_get(jnp.asarray(lengths, jnp.int32)))
+        ragged = bool(np.any(lengths_np != T_pad))
     key = (
         bs.d_max, bs.n_bins, bs.S, bs.P,
         bs.log_c_uv, bs.log_c_vu, bs.log_c_uu, classes, singles, ragged,
