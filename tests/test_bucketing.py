@@ -106,7 +106,9 @@ def test_imm_fit_bucket_invariant(rng):
     SX = (rng.random((N, imm.config.F)).astype(np.float32) + 1e-3)
 
     results = {}
-    orig = IMM._frame_bucket
+    # keep the staticmethod wrapper: class-attribute access unwraps it, and
+    # restoring the bare function would rebind `self` as N in later tests
+    orig = IMM.__dict__["_frame_bucket"]
     try:
         for bucket in (128, 256):
             IMM._frame_bucket = staticmethod(lambda n, b=bucket: b)
@@ -136,7 +138,7 @@ def test_imm_stereo_fit_bucket_invariant(rng):
     sHF0 = rng.random((imm.config.U, N)).astype(np.float32)
 
     results = {}
-    orig = IMM._frame_bucket
+    orig = IMM.__dict__["_frame_bucket"]
     try:
         for bucket in (128, 256):
             IMM._frame_bucket = staticmethod(lambda n, b=bucket: b)
