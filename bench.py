@@ -40,6 +40,7 @@ def main():
     from viterbi_spl_tpu.hmm.viterbi import prepare_log_params
     from viterbi_spl_tpu.hmm.viterbi_banded import (
         extract_banded_structure,
+        viterbi_backtrace_pallas_banded_batch,
         viterbi_forward_pallas_banded_batch,
     )
     from viterbi_spl_tpu.hmm.viterbi_pallas import viterbi_backtrace_pallas_batch
@@ -86,8 +87,8 @@ def main():
             bstruct, log_pi_d, o, lens, block_frames=BLOCK, interpret=False
         )
         last = jnp.argmax(t1, axis=1).astype(jnp.int32)
-        return viterbi_backtrace_pallas_batch(
-            t1m1, log_B_d, last, lens, block_frames=BLOCK, interpret=False
+        return viterbi_backtrace_pallas_banded_batch(
+            bstruct, t1m1, last, lens, block_frames=BLOCK, interpret=False
         )
 
     # warmup/compile (checksum forces completion through the async host)

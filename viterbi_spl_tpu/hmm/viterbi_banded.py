@@ -40,9 +40,27 @@ backtrace" that reconstructs FULL backpointer rows per frame from the
 banded structure (exact, frame-parallel) is ~3x SLOWER than the dense
 backtrace's per-track dynamic logB row loads at production N — computing
 all P lanes of every bp row costs about as much as a forward step, while
-the dense chase only ever needs one lane per track. The dense backtrace
-(viterbi_pallas.viterbi_backtrace_pallas_batch) therefore remains the
-production pair for this forward.
+the dense chase only ever needs one lane per track.
+
+The production backtrace here (`viterbi_backtrace_pallas_banded_batch`)
+takes a third route: chase sequentially like the dense backtrace, but
+RECONSTRUCT each track's needed logB row in lane space instead of
+dynamically loading it. Because log B[s, x] = log(A[x, s] + tiny) =
+pf_{x-s}[x] (the source profiles above, lane-indexed by the SOURCE x),
+the row for target s is a handful of elementwise selects on the lane
+offset e = x - s:
+
+    row[x] = bv[class(e)][x]      for |e| <= d_max   (in-band)
+             LOG_TINY             for |e| >  d_max   (out of band)
+             log_c_uv             at x = n_bins      (unvoiced source)
+             NEG_PAD              at pad lanes
+    row      = logB[n_bins, :]    when s is the unvoiced state
+
+— all f32-bitwise equal to the dense logB row (profiles are the same
+np.log(A+tiny) values; classes merge only f32-identical profiles), so the
+max + first-max argmin over `t1m1_row + row` is bit-identical to the
+dense backtrace and to the oracle. This removes the N-per-frame dynamic
+row loads (the latency-bound part of the dense chase) entirely.
 
 `extract_banded_structure` validates the structure on the host and returns
 None when it does not hold (imm's analytic matrix, random test matrices),
@@ -474,4 +492,188 @@ def viterbi_forward_pallas_banded_batch(
         jnp.asarray(bs.band),
         jnp.asarray(bv),
         jnp.asarray(log_pi),
+    )
+
+
+def _make_banded_backtrace_kernel(key: tuple, N: int):
+    (d_max, n_bins, S, P, log_c_uv, log_c_vu, log_c_uu, classes) = key
+    from .viterbi_pallas import GROUP
+
+    # Reconstruction plan: seed bvsel with the class holding the most
+    # offsets (for shaped melody matrices: the floored tail spanning the
+    # whole band), then override the remaining offsets one select each.
+    default_ci = max(range(len(classes)), key=lambda ci: len(classes[ci][0]))
+    overrides = tuple(
+        (ci, d)
+        for ci, (offsets, _, _, _) in enumerate(classes)
+        if ci != default_ci
+        for d in offsets
+    )
+
+    def kernel(len_ref, init_ref, t1m1_ref, bv_ref, states_ref, s_carry):
+        i = pl.program_id(0)
+        c = pl.num_programs(0) - 1 - i
+        _, L, _ = t1m1_ref.shape
+        base_t = c * L
+        lane_P = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
+        lane_L = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        # loop-invariant pieces of the reconstructed logB row
+        # sources at/beyond the unvoiced lane, voiced target:
+        vtail = jnp.where(
+            lane_row == n_bins, jnp.float32(log_c_uv), jnp.float32(NEG_PAD)
+        )  # [1, P]
+        # the full unvoiced-target row logB[n_bins, :]:
+        uv_row = jnp.where(
+            lane_row < n_bins,
+            jnp.float32(log_c_vu),
+            jnp.where(
+                lane_row == n_bins, jnp.float32(log_c_uu), jnp.float32(NEG_PAD)
+            ),
+        )  # [1, P]
+        x_tail = lane_P >= n_bins  # [N, P]
+        # [N, 1] int32 columns avoid unsupported i1 minor-dim reshapes
+        lengths = jnp.stack(
+            [jnp.full((1,), len_ref[n], jnp.int32) for n in range(N)]
+        )
+        inits = jnp.stack(
+            [jnp.full((1,), init_ref[n], jnp.int32) for n in range(N)]
+        )
+
+        @pl.when(i == 0)
+        def _():
+            for n in range(N):
+                s_carry[n] = init_ref[n]
+
+        n_groups = L // GROUP
+
+        def group(gi, acc):
+            s, states_rows = acc  # s [N, 1], states_rows [N, L]
+            g = (n_groups - 1) - gi
+            j0 = pl.multiple_of(g * GROUP, GROUP)
+            block = t1m1_ref[:, pl.ds(j0, GROUP), :]  # [N, G, P]
+            for k in reversed(range(GROUP)):
+                j = j0 + k
+                t = base_t + j
+                s = jnp.where(t == lengths - 1, inits, s)
+                active = t < lengths  # [N, 1]
+                states_rows = jnp.where(
+                    jnp.logical_and(active, lane_L == j), s, states_rows
+                )
+                # reconstruct logB[s, :] per track from the band profiles
+                e = lane_P - s  # [N, P] lane offset from the target
+                bvsel = jnp.broadcast_to(bv_ref[default_ci, :][None, :], (N, P))
+                for ci, d in overrides:
+                    bvsel = jnp.where(e == d, bv_ref[ci, :][None, :], bvsel)
+                row = jnp.where(
+                    jnp.abs(e) <= d_max, bvsel, jnp.float32(LOG_TINY)
+                )
+                row = jnp.where(x_tail, vtail, row)
+                row = jnp.where(s == n_bins, uv_row, row)
+                cand = block[:, k, :] + row
+                m = jnp.max(cand, axis=1, keepdims=True)  # [N, 1]
+                bp = jnp.min(
+                    jnp.where(cand == m, lane_P, P), axis=1, keepdims=True
+                )  # [N, 1] first-max (min lane over equal maxima)
+                s = jnp.where(active, bp.astype(jnp.int32), s)
+            return (s, states_rows)
+
+        init_s = jnp.stack(
+            [jnp.full((1,), s_carry[n], jnp.int32) for n in range(N)]
+        )  # [N, 1]
+        s_final, states_rows = jax.lax.fori_loop(
+            0, n_groups, group, (init_s, jnp.zeros((N, L), jnp.int32)),
+            unroll=False,
+        )
+        states_ref[0, :, :] = states_rows
+        for n in range(N):
+            s_carry[n] = s_final[n, 0]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_banded_backtrace_call(
+    key: tuple, N: int, T_pad: int, block_frames: int, interpret: bool
+):
+    n_chunks = T_pad // block_frames
+    P = key[3]
+    n_bv = max(len(key[7]), 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (N, block_frames, P),
+                lambda i, *_: (0, n_chunks - 1 - i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((n_bv, P), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, N, block_frames),
+                lambda i, *_: (n_chunks - 1 - i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[pltpu.SMEM((N,), jnp.int32)],
+    )
+    call = pl.pallas_call(
+        _make_banded_backtrace_kernel(key, N),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks, N, block_frames), jnp.int32)
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * N * T_pad * P,
+            bytes_accessed=N * T_pad * P * 4,
+            transcendentals=0,
+        ),
+    )
+
+    @jax.jit
+    def run(lengths, last_states, t1m1, bv):
+        states = call(lengths, last_states, t1m1, bv)[0]
+        return jnp.transpose(states, (1, 0, 2)).reshape(states.shape[1], -1)
+
+    return run
+
+
+def viterbi_backtrace_pallas_banded_batch(
+    bs: BandedStructure,
+    t1m1,
+    last_states,
+    lengths,
+    *,
+    block_frames: int = 128,
+    interpret: bool | None = None,
+):
+    """Batched reverse chase against a banded structure: bit-identical
+    states to viterbi_backtrace_pallas_batch(t1m1, logB, ...) — the per-
+    track logB row is reconstructed in lane space (module docstring)
+    instead of dynamically loaded, removing the N-per-frame row loads.
+    Returns states [N, T_pad] int32 (entries at or beyond each track's
+    length are garbage)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    N, T_pad, P = t1m1.shape
+    assert P == bs.P and N % 8 == 0 and T_pad % block_frames == 0
+    assert bs.classes, "banded structure carries no source-profile classes"
+    key = (
+        bs.d_max, bs.n_bins, bs.S, bs.P,
+        bs.log_c_uv, bs.log_c_vu, bs.log_c_uu, bs.classes,
+    )
+    run = _build_banded_backtrace_call(
+        key, N, T_pad, block_frames, bool(interpret)
+    )
+    return run(
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(last_states, jnp.int32),
+        t1m1,
+        jnp.asarray(bs.bv),
     )

@@ -658,6 +658,13 @@ def viterbi_decode_batch_pallas_logobs(
     # on device avoids a host round trip between the forward and backtrace
     # kernels (~20 ms through the async TPU host per batch).
     last_states = jnp.argmax(t1_last[:, :S], axis=1).astype(jnp.int32)
+    if bstruct is not None and bstruct.classes:
+        from .viterbi_banded import viterbi_backtrace_pallas_banded_batch
+
+        return viterbi_backtrace_pallas_banded_batch(
+            bstruct, t1m1, last_states, lengths,
+            block_frames=block_frames, interpret=interpret,
+        )
     return viterbi_backtrace_pallas_batch(
         t1m1, log_B_d, last_states, lengths,
         block_frames=block_frames, interpret=interpret,
