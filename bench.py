@@ -100,9 +100,15 @@ def main():
     )
 
     def timed(fn, arg, frames, iters=5):
+        # queue all iterations, then drain with scalar readbacks: each
+        # readback through the axon async host costs ~25 ms regardless of
+        # size, so syncing inside the loop would charge the device for
+        # host latency (serving streams batches back-to-back without
+        # per-batch syncs). The int() drain still forces every iteration
+        # to full completion before the clock stops.
         t0 = time.perf_counter()
-        for _ in range(iters):
-            _ = int(jnp.sum(fn(arg) % 7))
+        sums = [jnp.sum(fn(arg) % 7) for _ in range(iters)]
+        _ = [int(s) for s in sums]
         dt = (time.perf_counter() - t0) / iters
         return frames / dt, dt
 
@@ -204,8 +210,8 @@ def main():
 
         def timed_srv():
             t0 = time.perf_counter()
-            for _ in range(5):
-                _ = int(jnp.sum(serve(padded, lens_srv) % 7))
+            sums = [jnp.sum(serve(padded, lens_srv) % 7) for _ in range(5)]
+            _ = [int(s) for s in sums]
             return N * T_SRV / ((time.perf_counter() - t0) / 5)
 
         detail["serving_fused_obs_decode_fps"] = round(timed_srv(), 1)
@@ -280,8 +286,8 @@ def main():
 
         def timed_722():
             t0 = time.perf_counter()
-            for _ in range(5):
-                _ = int(jnp.sum(serve722(padded2, lens2) % 7))
+            sums = [jnp.sum(serve722(padded2, lens2) % 7) for _ in range(5)]
+            _ = [int(s) for s in sums]
             return int(lens2_np.sum()) / ((time.perf_counter() - t0) / 5)
 
         detail["serving_fused_obs_decode_fps_722"] = round(timed_722(), 1)
