@@ -99,16 +99,17 @@ def main():
         np.asarray(states[0]), S,
     )
 
-    def timed(fn, arg, frames, iters=5):
-        # queue all iterations, then drain with scalar readbacks: each
+    def timed(fn, arg, frames, iters=8):
+        # queue all iterations, then drain with ONE scalar readback: each
         # readback through the axon async host costs ~25 ms regardless of
-        # size, so syncing inside the loop would charge the device for
-        # host latency (serving streams batches back-to-back without
-        # per-batch syncs). The int() drain still forces every iteration
-        # to full completion before the clock stops.
+        # size, so syncing inside the loop (or draining each iteration's
+        # checksum separately) would charge the device for host latency
+        # (serving streams batches back-to-back without per-batch syncs).
+        # Summing the per-iteration checksums into one scalar still forces
+        # every iteration to full completion before the clock stops.
         t0 = time.perf_counter()
         sums = [jnp.sum(fn(arg) % 7) for _ in range(iters)]
-        _ = [int(s) for s in sums]
+        _ = int(sum(sums))
         dt = (time.perf_counter() - t0) / iters
         return frames / dt, dt
 
@@ -202,17 +203,17 @@ def main():
                 interpret=False,
             )
             last = jnp.argmax(t1, axis=1).astype(jnp.int32)
-            return viterbi_backtrace_pallas_batch(
-                t1m1, log_B_d, last, l, block_frames=BLOCK, interpret=False
+            return viterbi_backtrace_pallas_banded_batch(
+                bstruct, t1m1, last, l, block_frames=BLOCK, interpret=False
             )
 
         _ = int(jnp.sum(serve(padded, lens_srv) % 7))
 
         def timed_srv():
             t0 = time.perf_counter()
-            sums = [jnp.sum(serve(padded, lens_srv) % 7) for _ in range(5)]
-            _ = [int(s) for s in sums]
-            return N * T_SRV / ((time.perf_counter() - t0) / 5)
+            sums = [jnp.sum(serve(padded, lens_srv) % 7) for _ in range(8)]
+            _ = int(sum(sums))
+            return N * T_SRV / ((time.perf_counter() - t0) / 8)
 
         detail["serving_fused_obs_decode_fps"] = round(timed_srv(), 1)
 
@@ -263,8 +264,8 @@ def main():
                 interpret=False,
             )
             last = jnp.argmax(t1, axis=1).astype(jnp.int32)
-            return viterbi_backtrace_pallas_batch(
-                t1m1, log_B2_d, last, l, block_frames=BLOCK, interpret=False
+            return viterbi_backtrace_pallas_banded_batch(
+                bs2, t1m1, last, l, block_frames=BLOCK, interpret=False
             )
 
         states722 = serve722(padded2, lens2)
@@ -286,9 +287,9 @@ def main():
 
         def timed_722():
             t0 = time.perf_counter()
-            sums = [jnp.sum(serve722(padded2, lens2) % 7) for _ in range(5)]
-            _ = [int(s) for s in sums]
-            return int(lens2_np.sum()) / ((time.perf_counter() - t0) / 5)
+            sums = [jnp.sum(serve722(padded2, lens2) % 7) for _ in range(8)]
+            _ = int(sum(sums))
+            return int(lens2_np.sum()) / ((time.perf_counter() - t0) / 8)
 
         detail["serving_fused_obs_decode_fps_722"] = round(timed_722(), 1)
 
