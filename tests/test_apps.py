@@ -169,6 +169,26 @@ def test_app_native_prefetch_training(tmp_path):
     assert state.best_oa > -1
 
 
+def test_mesh_flag_malformed_values_exit_cleanly(tmp_path):
+    """--mesh parse errors must be a clean SystemExit with usage text, not
+    a raw ValueError traceback."""
+    import dataclasses
+
+    import pytest
+
+    from viterbi_spl_tpu.apps import msnet as msnet_app
+    from viterbi_spl_tpu.apps.common import app_main
+
+    cfg = dataclasses.replace(msnet_app.config(), batch_size=2)
+    for bad in ("4", "data=abc", "data"):
+        with pytest.raises(SystemExit):
+            app_main(
+                cfg, None,
+                ["train", "--synthetic", "--debug",
+                 "--ckpt", str(tmp_path / "ck"), "--mesh", bad],
+            )
+
+
 def test_mesh_data_parallel_training_matches_single_device(tmp_path):
     """--mesh data=4 must reproduce the single-device loss curve at the
     same global batch (GSPMD data parallelism changes only the sharding,

@@ -39,6 +39,10 @@ def test_shape_bucket_grid():
     assert len(distinct) <= 40
     with pytest.raises(ValueError):
         shape_bucket(0, quantum=64)
+    # small quanta must terminate: int(b*ratio) can round back to b
+    assert shape_bucket(2, quantum=1) == 2
+    assert shape_bucket(7, quantum=2) >= 7
+    assert shape_bucket(1000, quantum=3) >= 1000
 
 
 def test_mixed_length_corpus_decode_bucket_count(rng):

@@ -103,6 +103,27 @@ def test_training_resume(tmp_path):
     assert resumed.best_oa >= state.best_oa - 1e-6
 
 
+def test_restore_pre_step_counter_checkpoint(tmp_path):
+    """Checkpoints written before TrainState grew the `step` scalar must
+    still restore (resume at step 0) — the restore template falls back to
+    the legacy scalar set."""
+    trainer, state, batches = _tiny_trainer(tmp_path)
+    state = trainer.fit(state, batches, steps_per_epoch=2)
+
+    # rewrite the checkpoint WITHOUT the step scalar (legacy layout)
+    legacy = state.as_pytree()
+    legacy["scalars"].pop("step")
+    import shutil
+
+    shutil.rmtree(trainer.ckpt_path)
+    trainer._ckpt.save(trainer.ckpt_path, legacy)
+    trainer._ckpt.wait_until_finished()
+
+    restored = trainer.restore(state)
+    assert restored.step == 0
+    assert restored.best_oa == pytest.approx(state.best_oa)
+
+
 def test_train_step_dropout_rng_varies_per_step():
     """The app train step must draw FRESH dropout masks every step (the
     reference trains with stochastic dropout, dcnet/softmax_viterbi.py:

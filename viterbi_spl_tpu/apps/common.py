@@ -306,8 +306,14 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     if args.mesh:
         from ..dist import make_mesh
 
-        kv = dict(part.split("=", 1) for part in args.mesh.split(","))
-        n_data = int(kv.pop("data", 1))
+        try:
+            kv = dict(part.split("=", 1) for part in args.mesh.split(","))
+            n_data = int(kv.pop("data", 1))
+        except ValueError:
+            raise SystemExit(
+                f"--mesh: expected comma-separated axis=N (e.g. data=8), "
+                f"got {args.mesh!r}"
+            )
         if kv:
             raise SystemExit(f"--mesh: only data=N is supported, got {kv}")
         if len(jax.devices()) < n_data:

@@ -60,7 +60,9 @@ class TrainState:
             epoch=int(s["epoch"]),
             best_oa=float(s["best_oa"]),
             best_epoch=int(s["best_epoch"]),
-            step=int(s["step"]),
+            # checkpoints written before the step counter existed have no
+            # "step" scalar; resume them at step 0
+            step=int(s.get("step", 0)),
         )
 
 
@@ -102,7 +104,14 @@ class Trainer:
         self._ckpt.wait_until_finished()
 
     def restore(self, state_like: TrainState) -> TrainState:
-        tree = self._ckpt.restore(self.ckpt_path, state_like.as_pytree())
+        template = state_like.as_pytree()
+        try:
+            tree = self._ckpt.restore(self.ckpt_path, template)
+        except Exception:
+            # pre-step-counter checkpoint: restore without the "step"
+            # scalar and resume at step 0 (load_pytree defaults it)
+            template["scalars"].pop("step", None)
+            tree = self._ckpt.restore(self.ckpt_path, template)
         return state_like.load_pytree(tree)
 
     # -- loops -----------------------------------------------------------

@@ -476,7 +476,10 @@ def viterbi_forward_pallas_banded_batch(
         # build the (always-correct) ragged specialization
         ragged = True
     else:
-        lengths_np = np.asarray(jax.device_get(jnp.asarray(lengths, jnp.int32)))
+        # host-side peek WITHOUT a device round trip: lengths is usually a
+        # NumPy array here (free), and np.asarray on a device array is one
+        # D2H copy — never stage an H2D transfer just to read it back
+        lengths_np = np.asarray(lengths)
         ragged = bool(np.any(lengths_np != T_pad))
     key = (
         bs.d_max, bs.n_bins, bs.S, bs.P,

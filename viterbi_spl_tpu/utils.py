@@ -39,7 +39,9 @@ def shape_bucket(
     b = minimum if minimum is not None else quantum
     assert b % quantum == 0 and b > 0
     while b < n:
-        b = -(-int(b * ratio) // quantum) * quantum
+        # the +quantum floor guarantees progress when int(b * ratio)
+        # rounds back to a multiple of quantum <= b (e.g. small quantum)
+        b = max(-(-int(b * ratio) // quantum) * quantum, b + quantum)
     return b
 
 
