@@ -121,3 +121,38 @@ def test_decode_cli_fused_obs_matches_default(tmp_path, rng):
         b = np.load(tmp_path / "b" / f"track{i}.npz")
         np.testing.assert_array_equal(a["voiced"], b["voiced"])
         np.testing.assert_array_equal(a["bins"], b["bins"])
+
+
+def test_decode_cli_mesh_matches_single_device(tmp_path, rng):
+    """--mesh data=8 shards the decode batch's tracks over the CPU mesh;
+    melody lines must be IDENTICAL to the single-device decode (the sharded
+    path runs the same kernels per shard — track parallelism only changes
+    placement, never the DP)."""
+    from viterbi_spl_tpu.cli import decode as D
+
+    art, paths = _prepare(tmp_path, rng)
+    base = ["--family", "tonet", "--artifacts", str(tmp_path / "hmm"),
+            "--format", "npz", "--batch", "3"]
+    D.main([str(p) for p in paths] + base + ["--out", str(tmp_path / "a")])
+    D.main([str(p) for p in paths] + base
+           + ["--out", str(tmp_path / "b"), "--mesh", "data=8"])
+    for i in range(3):
+        a = np.load(tmp_path / "a" / f"track{i}.npz")
+        b = np.load(tmp_path / "b" / f"track{i}.npz")
+        np.testing.assert_array_equal(a["voiced"], b["voiced"])
+        np.testing.assert_array_equal(a["bins"], b["bins"])
+
+
+def test_decode_cli_mesh_malformed_exits(tmp_path, rng):
+    import pytest
+
+    from viterbi_spl_tpu.cli import decode as D
+
+    art, paths = _prepare(tmp_path, rng)
+    for bad in ("8", "data=abc", "seq=2"):
+        with pytest.raises(SystemExit):
+            D.main(
+                [str(paths[0]), "--family", "tonet", "--artifacts",
+                 str(tmp_path / "hmm"), "--out", str(tmp_path / "x"),
+                 "--mesh", bad]
+            )

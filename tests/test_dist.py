@@ -175,3 +175,34 @@ def test_forced_halo_doubling_episode():
     )
     assert final_halo == 64
     np.testing.assert_array_equal(exact, np.asarray(states))
+
+
+def test_track_sharded_pallas_batch_decode_bit_identical(rng):
+    """viterbi_decode_batch_pallas(mesh=...) shards tracks over the data
+    axis through the SAME batched kernels; decoded paths must be
+    bit-identical to the single-device batch decode (banded fast path and
+    dense fallback both), with mixed lengths."""
+    from viterbi_spl_tpu.hmm.viterbi_pallas import viterbi_decode_batch_pallas
+
+    mesh = make_mesh(data=8, seq=1)
+    for banded in (True, False):
+        A, pi, _ = realistic_hmm(rng)
+        S = A.shape[0]
+        tracks = []
+        for i in range(10):  # not a multiple of 8: exercises track padding
+            T = 40 + 17 * i
+            path = np.clip(30 + np.cumsum(rng.integers(-1, 2, T)), 0, S - 2)
+            obs = np.full((S, T), 1e-4, np.float32)
+            obs[path, np.arange(T)] = 1.0
+            obs /= obs.sum(0, keepdims=True)
+            tracks.append(obs)
+        single = viterbi_decode_batch_pallas(
+            transition_matrix=A, prob_init=pi, probs_st_list=tracks,
+            block_frames=32, allow_banded=banded,
+        )
+        sharded = viterbi_decode_batch_pallas(
+            transition_matrix=A, prob_init=pi, probs_st_list=tracks,
+            block_frames=32, allow_banded=banded, mesh=mesh,
+        )
+        for s, m in zip(single, sharded):
+            np.testing.assert_array_equal(s, m)

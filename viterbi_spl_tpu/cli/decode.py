@@ -69,6 +69,28 @@ def build_setup(args) -> DecoderSetup:
             f"--threshold {threshold} must be a probability in (0, 1) for "
             f"family {spec.name}"
         )
+    mesh = None
+    mesh_arg = getattr(args, "mesh", None)
+    if mesh_arg:
+        import jax
+
+        from ..dist import make_mesh
+
+        try:
+            kv = dict(part.split("=", 1) for part in mesh_arg.split(","))
+            n_data = int(kv.pop("data", 1))
+        except ValueError:
+            raise SystemExit(
+                f"--mesh: expected comma-separated axis=N (e.g. data=8), "
+                f"got {mesh_arg!r}"
+            )
+        if kv:
+            raise SystemExit(f"--mesh: only data=N is supported, got {kv}")
+        if len(jax.devices()) < n_data:
+            raise SystemExit(
+                f"--mesh data={n_data}: only {len(jax.devices())} devices"
+            )
+        mesh = make_mesh(data=n_data, seq=1)
     return DecoderSetup(
         transition_matrix=A,
         init_probs=pi,
@@ -82,6 +104,7 @@ def build_setup(args) -> DecoderSetup:
         threshold_is_logit=spec.threshold_is_logit,
         interp_est_notes=spec.interp_est_notes,
         fused_obs=getattr(args, "fused_obs", False),
+        mesh=mesh,
     )
 
 
@@ -162,6 +185,10 @@ def main(argv=None):
                          "kernel feeding the decoder directly (all "
                          "methods; see hmm/obs_pallas.py for the "
                          "tolerance contract)")
+    ap.add_argument("--mesh", default=None,
+                    help="shard the decode batch's tracks over a device "
+                         "mesh, e.g. data=8 (track-level data parallelism; "
+                         "paths identical to single-device)")
     ap.add_argument("--skip-existing", action="store_true",
                     help="skip inputs whose output file already exists — "
                          "makes interrupted batch jobs restartable "

@@ -71,6 +71,10 @@ class DecoderSetup:
     # reduction order and ulp-level transcendentals (see the kernel
     # docstring); opt-in.
     fused_obs: bool = False
+    # optional jax Mesh with a "data" axis: decode batches shard tracks
+    # across devices (paths identical to single-device; tested on the CPU
+    # mesh). None = single device.
+    mesh: object = None
 
     def __post_init__(self):
         if self.method not in ALLOWED_VITERBI_METHODS:
@@ -119,13 +123,16 @@ class DecoderSetup:
             return self._decode_batch_fused(logits_list)
         obs_list = [np.asarray(self.observation_probs(lg)) for lg in logits_list]
 
-        if jax.default_backend() == "tpu":
+        # a data mesh routes through the batched kernels on any backend
+        # (interpret mode off-TPU) so the sharded path is the same code
+        if jax.default_backend() == "tpu" or self.mesh is not None:
             from ..hmm.viterbi_pallas import viterbi_decode_batch_pallas
 
             states_list = viterbi_decode_batch_pallas(
                 transition_matrix=self.transition_matrix,
                 prob_init=self.init_probs,
                 probs_st_list=[o.T for o in obs_list],
+                mesh=self.mesh,
             )
         else:
             states_list = []
@@ -171,7 +178,10 @@ class DecoderSetup:
         N_real = len(logits_list)
         # geometric shape buckets: a mixed-length corpus compiles O(log T)
         # kernel shapes; padded frames are masked by the lengths vector
-        N = shape_bucket(max(N_real, 1), quantum=8, ratio=2.0)
+        n_quantum = 8 * (
+            int(self.mesh.shape["data"]) if self.mesh is not None else 1
+        )
+        N = shape_bucket(max(N_real, 1), quantum=n_quantum, ratio=2.0)
         T_pad = shape_bucket(max(lengths), quantum=block)
         # the reflect-padded lane layout is built on the HOST during
         # staging: an XLA pad of the non-lane-multiple minor dim costs more
@@ -208,6 +218,7 @@ class DecoderSetup:
                 log_obs_batch=log_obs,
                 lengths=len_vec,
                 block_frames=block,
+                mesh=self.mesh,
             )
         )
         out = []

@@ -578,8 +578,11 @@ def viterbi_decode_batch_pallas(
     block_frames: int = 128,
     interpret: bool | None = None,
     allow_banded: bool = True,
+    mesh=None,
 ) -> list[np.ndarray]:
-    """Decode a list of [S, T_i] posteriorgram tracks together on one chip.
+    """Decode a list of [S, T_i] posteriorgram tracks together on one chip
+    (or, with `mesh`, tracks sharded over the mesh's "data" axis — see
+    viterbi_decode_batch_pallas_logobs).
 
     Pads N and T to geometric shape buckets (utils.shape_bucket) so a
     mixed-length corpus compiles O(log T) kernel shapes instead of one per
@@ -596,7 +599,9 @@ def viterbi_decode_batch_pallas(
 
     lengths = [np.asarray(p).shape[1] for p in probs_st_list]
     N_real = len(probs_st_list)
-    N = shape_bucket(max(N_real, 1), quantum=8, ratio=2.0)
+    # every device's track shard must itself be a sublane-tile multiple
+    n_quantum = 8 * (int(mesh.shape["data"]) if mesh is not None else 1)
+    N = shape_bucket(max(N_real, 1), quantum=n_quantum, ratio=2.0)
     T_pad = shape_bucket(max(lengths), quantum=block_frames)
     obs = np.zeros((N, T_pad, P), np.float32)
     for i, p in enumerate(probs_st_list):
@@ -612,6 +617,7 @@ def viterbi_decode_batch_pallas(
         block_frames=block_frames,
         interpret=interpret,
         allow_banded=allow_banded,
+        mesh=mesh,
     )
     states = np.asarray(states)
     return [states[i, : lengths[i]].astype(np.int64) for i in range(N_real)]
@@ -626,10 +632,53 @@ def viterbi_decode_batch_pallas_logobs(
     block_frames: int = 128,
     interpret: bool | None = None,
     allow_banded: bool = True,
+    mesh=None,
 ):
     """Decode a padded [N, T_pad, P] batch of LOG observations (unvoiced at
     lane S-1, NEG_PAD beyond — e.g. the fused observation kernel's output).
-    Returns states [N, T_pad] int32 on device."""
+    Returns states [N, T_pad] int32 on device.
+
+    With `mesh` (a jax Mesh with a "data" axis), tracks shard over the data
+    axis and every device runs the same kernels on its local [N/D, T_pad, P]
+    shard (track-level embarrassing parallelism, SURVEY.md §2.10.2 — the
+    reference's per-track eval loop, imm/main_imm.py:1139-1180, scaled
+    across chips). HMM parameters replicate; states return with the batch's
+    sharding. Paths are bit-identical to the single-device decode (tested on
+    the CPU mesh)."""
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as PSpec
+
+        D = int(mesh.shape["data"])
+        N_all = log_obs_batch.shape[0]
+        if N_all % D or (N_all // D) % 8:
+            raise ValueError(
+                f"N={N_all} tracks must split into data={D} shards of "
+                f"sublane-tile multiples (8)"
+            )
+
+        def _local(obs_shard, len_shard):
+            return viterbi_decode_batch_pallas_logobs(
+                transition_matrix=transition_matrix,
+                prob_init=prob_init,
+                log_obs_batch=obs_shard,
+                lengths=len_shard,
+                block_frames=block_frames,
+                interpret=interpret,
+                allow_banded=allow_banded,
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                _local,
+                mesh=mesh,
+                in_specs=(PSpec("data", None, None), PSpec("data")),
+                out_specs=PSpec("data", None),
+                # pallas_call out_shapes carry no vma annotations
+                check_vma=False,
+            )
+        )
+        return fn(jnp.asarray(log_obs_batch), jnp.asarray(lengths, jnp.int32))
+
     S = np.asarray(transition_matrix).shape[0]
     N, T_pad, P = log_obs_batch.shape
     assert P == _round_up(S, LANE)
