@@ -72,3 +72,49 @@ def test_single_frame_pushes(rng):
     out.append(sv.flush())
     got = np.concatenate(out)
     np.testing.assert_array_equal(expected, got)
+
+
+def test_batched_streams_bitwise_equal_single_stream(rng):
+    """StreamingViterbiBatch must reproduce StreamingViterbi per stream
+    bitwise (the vmap computes the same f32 ops lane-wise), including at a
+    finite lag, synchronized chunked pushes, and the flush tail."""
+    from viterbi_spl_tpu.hmm.streaming import StreamingViterbiBatch
+
+    S, T, M, lag, hop = 30, 90, 4, 25, 10
+    tracks = [random_hmm(rng, S, T) for _ in range(M)]
+    A, pi, _ = tracks[0]
+    obs_batch = np.stack([np.asarray(o.T) for (_, _, o) in
+                          [(A, pi, t[2]) for t in tracks]])
+    # decode each stream with the single-stream class (shared HMM params)
+    singles = []
+    for m in range(M):
+        sv = StreamingViterbi(A, pi, lag=lag)
+        outs = [sv.push(obs_batch[m, i : i + hop]) for i in range(0, T, hop)]
+        outs.append(sv.flush())
+        singles.append(np.concatenate(outs))
+
+    svb = StreamingViterbiBatch(A, pi, n_streams=M, lag=lag)
+    outs = [svb.push(obs_batch[:, i : i + hop]) for i in range(0, T, hop)]
+    outs.append(svb.flush())
+    got = np.concatenate([o for o in outs if o.shape[1]], axis=1)
+    assert got.shape == (M, T)
+    for m in range(M):
+        np.testing.assert_array_equal(got[m], singles[m])
+
+
+def test_batched_streams_large_lag_equals_offline(rng):
+    from viterbi_spl_tpu.hmm.streaming import StreamingViterbiBatch
+
+    S, T, M = 25, 70, 3
+    A, pi, _ = random_hmm(rng, S, T)
+    obs_list = [random_hmm(rng, S, T)[2] for _ in range(M)]
+    obs_batch = np.stack([o.T for o in obs_list])
+    svb = StreamingViterbiBatch(A, pi, n_streams=M, lag=T + 5)
+    out = svb.push(obs_batch)
+    assert out.shape == (M, 0)
+    got = svb.flush()
+    for m in range(M):
+        expected = viterbi_oracle(
+            transition_matrix=A, prob_init=pi, probs_st=obs_list[m]
+        )
+        np.testing.assert_array_equal(expected, got[m])

@@ -120,3 +120,85 @@ class StreamingViterbi:
         if n <= 0:
             return np.empty(0, np.int32)
         return self._emit(n)
+
+
+_forward_chunk_batch = jax.jit(jax.vmap(_forward_chunk, in_axes=(None, 0, 0)))
+_backtrace_window_batch = jax.jit(
+    jax.vmap(_backtrace_window, in_axes=(None, 0, 0))
+)
+
+
+class StreamingViterbiBatch:
+    """Fixed-lag streaming decoder for M synchronized concurrent streams —
+    the production serving shape (a pool of live audio channels stepping in
+    lockstep). One device dispatch per push for ALL streams: the forward
+    scan and the backtrace window are vmapped over the stream axis and the
+    carry/window state stays on device between pushes (no per-stream host
+    round trips — through the axon async host a single host sync costs
+    ~25 ms, which at 10 ms hops would stall dozens of live channels).
+
+    push(obs [M, T_c, S]) -> [M, n] int32 states; every stream emits the
+    same frame count per push (synchronized hops), so emission bookkeeping
+    is host-static and each steady-state push compiles exactly once.
+    Per-stream decisions are bit-identical to StreamingViterbi (the vmap
+    computes the same f32 ops lane-wise; tested), hence equal to the
+    offline decode whenever the lag covers the stream.
+    """
+
+    def __init__(self, transition_matrix, prob_init, n_streams: int, lag: int = 128):
+        if lag < 1:
+            raise ValueError("lag must be >= 1")
+        if n_streams < 1:
+            raise ValueError("n_streams must be >= 1")
+        log_B, log_pi = prepare_log_params(transition_matrix, prob_init)
+        self._log_B = jnp.asarray(log_B)
+        self._log_pi = jnp.asarray(log_pi)
+        self.S = log_B.shape[0]
+        self.M = n_streams
+        self.lag = lag
+        self._carry = None  # [M, S] T1 rows after the newest frame
+        self._window = None  # [M, B, S] shifted T1 rows for buffered frames
+        self._obs_count = 0
+        self._emitted = 0
+
+    def push(self, obs_chunk: np.ndarray, is_log: bool = False) -> np.ndarray:
+        obs = jnp.asarray(obs_chunk, jnp.float32)
+        if not is_log:
+            obs = jnp.log(obs + TINY)
+        if obs.ndim != 3 or obs.shape[0] != self.M or obs.shape[2] != self.S:
+            raise ValueError(f"expected [{self.M}, T, {self.S}] observations")
+
+        if self._carry is None:
+            first = self._log_pi[None, :] + obs[:, 0]
+            carry, rows = _forward_chunk_batch(self._log_B, first, obs[:, 1:])
+            # row 0 (T1 before frame 0) is unused by the backtrace
+            rows = jnp.concatenate(
+                [jnp.zeros((self.M, 1, self.S), jnp.float32), rows], axis=1
+            )
+            self._window = rows
+        else:
+            carry, rows = _forward_chunk_batch(self._log_B, self._carry, obs)
+            self._window = jnp.concatenate([self._window, rows], axis=1)
+        self._carry = carry
+        self._obs_count += obs.shape[1]
+
+        n_ready = (self._obs_count - self._emitted) - self.lag
+        if n_ready <= 0:
+            return np.empty((self.M, 0), np.int32)
+        return self._emit(n_ready)
+
+    def _emit(self, n: int) -> np.ndarray:
+        last = jnp.argmax(self._carry, axis=1).astype(jnp.int32)
+        states = _backtrace_window_batch(self._log_B, self._window, last)
+        out = np.asarray(states[:, :n], np.int32)
+        self._window = self._window[:, n:]
+        self._emitted += n
+        return out
+
+    def flush(self) -> np.ndarray:
+        if self._carry is None:
+            return np.empty((self.M, 0), np.int32)
+        n = self._obs_count - self._emitted
+        if n <= 0:
+            return np.empty((self.M, 0), np.int32)
+        return self._emit(n)
