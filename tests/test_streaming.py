@@ -102,6 +102,45 @@ def test_batched_streams_bitwise_equal_single_stream(rng):
         np.testing.assert_array_equal(got[m], singles[m])
 
 
+def test_batched_streams_kernel_path_bitwise_equal_scan_path(rng):
+    """M=8 routes through the production Pallas kernels (interpret mode on
+    CPU) with exact carry injection; decisions must be bitwise equal to the
+    vmapped-scan path, on a banded melody HMM AND a dense random one, at a
+    finite lag with the flush tail."""
+    from viterbi_spl_tpu.hmm import params as P
+    from viterbi_spl_tpu.hmm.streaming import StreamingViterbiBatch
+
+    M, T, lag, hop = 8, 96, 30, 16
+    n_bins = 40
+    tracks = [np.clip(20 + np.cumsum(rng.integers(-2, 3, 1500)), 0, n_bins - 1)]
+    stats = P.count_statistics(tracks, n_bins)
+    A_banded = P.shape_transition_matrix(
+        stats.transition_counts, np.array([[0.98, 0.02], [0.02, 0.98]]),
+        n_bins, 5, floor=2,
+    )
+    pi_banded = P.shape_init_probs(stats.p_steady, p_th=1e-4)
+    A_dense, pi_dense, _ = random_hmm(rng, n_bins + 1, 4)
+
+    for A, pi in ((A_banded, pi_banded), (A_dense, pi_dense)):
+        S = A.shape[0]
+        obs_batch = np.stack(
+            [random_hmm(rng, S, T)[2].T for _ in range(M)]
+        ).astype(np.float32)
+        outs = {}
+        for kernels in (False, True):
+            svb = StreamingViterbiBatch(
+                A, pi, n_streams=M, lag=lag, use_kernels=kernels
+            )
+            got = [svb.push(obs_batch[:, i : i + hop])
+                   for i in range(0, T, hop)]
+            got.append(svb.flush())
+            outs[kernels] = np.concatenate(
+                [o for o in got if o.shape[1]], axis=1
+            )
+            assert outs[kernels].shape == (M, T)
+        np.testing.assert_array_equal(outs[True], outs[False])
+
+
 def test_batched_streams_large_lag_equals_offline(rng):
     from viterbi_spl_tpu.hmm.streaming import StreamingViterbiBatch
 
