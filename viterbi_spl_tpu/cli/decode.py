@@ -49,6 +49,31 @@ def load_logits(path: Path, transposed: bool) -> np.ndarray:
     return arr.T if transposed else arr
 
 
+def parse_mesh(mesh_arg: str | None):
+    """--mesh data=N -> a 1-axis device mesh (None when unset)."""
+    if not mesh_arg:
+        return None
+    import jax
+
+    from ..dist import make_mesh
+
+    try:
+        kv = dict(part.split("=", 1) for part in mesh_arg.split(","))
+        n_data = int(kv.pop("data", 1))
+    except ValueError:
+        raise SystemExit(
+            f"--mesh: expected comma-separated axis=N (e.g. data=8), "
+            f"got {mesh_arg!r}"
+        )
+    if kv:
+        raise SystemExit(f"--mesh: only data=N is supported, got {kv}")
+    if len(jax.devices()) < n_data:
+        raise SystemExit(
+            f"--mesh data={n_data}: only {len(jax.devices())} devices"
+        )
+    return make_mesh(data=n_data, seq=1)
+
+
 def build_setup(args) -> DecoderSetup:
     spec = family_spec(args.family)
     art = Path(args.artifacts)
@@ -69,28 +94,7 @@ def build_setup(args) -> DecoderSetup:
             f"--threshold {threshold} must be a probability in (0, 1) for "
             f"family {spec.name}"
         )
-    mesh = None
-    mesh_arg = getattr(args, "mesh", None)
-    if mesh_arg:
-        import jax
-
-        from ..dist import make_mesh
-
-        try:
-            kv = dict(part.split("=", 1) for part in mesh_arg.split(","))
-            n_data = int(kv.pop("data", 1))
-        except ValueError:
-            raise SystemExit(
-                f"--mesh: expected comma-separated axis=N (e.g. data=8), "
-                f"got {mesh_arg!r}"
-            )
-        if kv:
-            raise SystemExit(f"--mesh: only data=N is supported, got {kv}")
-        if len(jax.devices()) < n_data:
-            raise SystemExit(
-                f"--mesh data={n_data}: only {len(jax.devices())} devices"
-            )
-        mesh = make_mesh(data=n_data, seq=1)
+    mesh = parse_mesh(getattr(args, "mesh", None))
     return DecoderSetup(
         transition_matrix=A,
         init_probs=pi,
@@ -108,18 +112,23 @@ def build_setup(args) -> DecoderSetup:
     )
 
 
-def decode_files(setup: DecoderSetup, paths, args, write=True) -> list[dict]:
+def decode_named_logits(
+    setup: DecoderSetup, names, logits_list, args, write=True
+) -> list[dict]:
+    """Batched decode of in-memory [T, n_bins] logits -> melody records
+    (and txt/npz files when `write`). Shared by the posteriorgram-file
+    service below and the wav-to-melody chain in cli/transcribe.py."""
     import jax
 
     out_dir = Path(args.out)
     if write:
         out_dir.mkdir(parents=True, exist_ok=True)
     results = []
-    for i in range(0, len(paths), args.batch):
-        group = paths[i : i + args.batch]
-        logits_list = [load_logits(p, args.transposed) for p in group]
-        decoded = setup.decode_batch(logits_list)
-        for path, logits, (voiced, bins) in zip(group, logits_list, decoded):
+    for i in range(0, len(names), args.batch):
+        group = list(names[i : i + args.batch])
+        group_logits = list(logits_list[i : i + args.batch])
+        decoded = setup.decode_batch(group_logits)
+        for name, logits, (voiced, bins) in zip(group, group_logits, decoded):
             if setup.interp_est_notes:
                 probs = np.asarray(jax.nn.sigmoid(np.asarray(logits)))
                 est_notes = np.asarray(
@@ -139,24 +148,30 @@ def decode_files(setup: DecoderSetup, paths, args, write=True) -> list[dict]:
             freqs = est_notes_with_voicing_to_hz(signed, min_note=setup.note_min)
             times = np.arange(len(freqs)) * setup.hop_seconds
             rec = dict(
-                name=path.stem, voiced=voiced, bins=bins,
+                name=name, voiced=voiced, bins=bins,
                 est_notes=est_notes, freqs=freqs, times=times,
             )
             results.append(rec)
             if not write:
                 continue
             if args.format == "txt":
-                outp = out_dir / (path.stem + ".txt")
+                outp = out_dir / (name + ".txt")
                 with open(outp, "w") as fh:
                     for t, f in zip(times, np.maximum(freqs, 0.0)):
                         fh.write(f"{t:.6f}\t{f:.6f}\n")
             else:
                 np.savez(
-                    out_dir / (path.stem + ".npz"),
+                    out_dir / (name + ".npz"),
                     voiced=voiced, bins=bins, est_notes=est_notes,
                     freqs=freqs, times=times,
                 )
     return results
+
+
+def decode_files(setup: DecoderSetup, paths, args, write=True) -> list[dict]:
+    names = [p.stem for p in paths]
+    logits_list = [load_logits(p, args.transposed) for p in paths]
+    return decode_named_logits(setup, names, logits_list, args, write=write)
 
 
 def main(argv=None):
