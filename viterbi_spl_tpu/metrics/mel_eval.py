@@ -10,8 +10,19 @@ environment, so this module reimplements those exact semantics:
   whose magnitude still scores raw pitch accuracy),
 - cents relative to a 10 Hz base,
 - zero-order-hold voicing resampling + linear pitch resampling with
-  held-through-zeros frequencies,
-- 50-cent tolerance; chroma via nearest-octave fold.
+  held-through-zeros frequencies; when the target timebase extends past the
+  source, mir_eval appends one terminal (freq=0, unvoiced) sample at the
+  new end time rather than holding the edge,
+- STRICT 50-cent tolerance (`< cent_tolerance`, mir_eval>=0.6 semantics —
+  also what the reference's own accumulators use, diffs < 0.5 semitones at
+  dcnet/softmax_viterbi.py:1771) with the nonzero-cent mask
+  (`est_cent != 0 and ref_cent != 0`) on the pitch/chroma correctness;
+  chroma via nearest-octave fold.
+
+Every behavior here is pinned by hand-derived fixtures in
+tests/test_mel_eval_fixtures.py (expected values computed by hand from the
+published mir_eval.melody algorithms — the library itself is not
+installable in this environment).
 
 Also provides librosa-style midi<->hz conversion used throughout the
 reference label pipeline.
@@ -57,19 +68,28 @@ def constant_hop_timebase(hop: float, end_time: float) -> np.ndarray:
 
 
 def resample_melody_series(times, frequencies, voicing, times_new, kind="linear"):
-    """Resample a (times, frequency-in-cents, voicing) series to new times.
+    """Resample a (times, frequency-in-cents, voicing) series to new times
+    (mir_eval.melody.resample_melody_series semantics).
 
     Frequencies are held through zeros and interpolated with `kind`; a
-    zero-order mask re-zeroes resampled points whose source was 0; voicing is
-    zero-order-hold resampled. Out-of-range queries hold the edge values.
-    """
-    times = np.asarray(times, np.float64)
+    zero-order mask re-zeroes resampled points whose source was 0; voicing
+    is zero-order-hold resampled. When `times_new` extends past `times`,
+    one terminal (freq=0, unvoiced) sample is appended at the new end time
+    (mir_eval does NOT hold the edge: the final query lands on that
+    appended sample and comes back unvoiced)."""
+    # mir_eval rounds both timebases to 10 decimals to dodge fp jitter
+    times = np.round(np.asarray(times, np.float64), 10)
     frequencies = np.asarray(frequencies, np.float64)
     voicing = np.asarray(voicing)
-    times_new = np.asarray(times_new, np.float64)
+    times_new = np.round(np.asarray(times_new, np.float64), 10)
 
     if times.shape == times_new.shape and np.allclose(times, times_new):
         return frequencies.copy(), voicing.astype(bool)
+
+    if times_new.max() > times.max():
+        times = np.append(times, times_new.max())
+        frequencies = np.append(frequencies, 0.0)
+        voicing = np.append(voicing, 0)
 
     freq_held = frequencies.copy()
     for n in range(1, len(freq_held)):
@@ -77,14 +97,7 @@ def resample_melody_series(times, frequencies, voicing, times_new, kind="linear"
             freq_held[n] = freq_held[n - 1]
 
     def interp(y, k):
-        f = interp1d(
-            times,
-            y,
-            kind=k,
-            bounds_error=False,
-            fill_value=(y[0], y[-1]),
-            assume_sorted=True,
-        )
+        f = interp1d(times, y, kind=k, assume_sorted=True)
         return f(times_new)
 
     freq_resampled = interp(freq_held, kind)
@@ -154,33 +167,46 @@ def voicing_measures(ref_voicing, est_voicing):
 
 
 def raw_pitch_accuracy(ref_voicing, ref_cent, est_voicing, est_cent, cent_tolerance=50.0):
+    """Fraction of ref-voiced frames whose estimate is within the tolerance
+    (STRICT `<`, over frames where both cent values are nonzero — the
+    published mir_eval.melody.raw_pitch_accuracy)."""
     ref_voicing = np.asarray(ref_voicing, bool)
+    ref_cent = np.asarray(ref_cent)
+    est_cent = np.asarray(est_cent)
     n_voiced = ref_voicing.sum()
     if n_voiced == 0:
         return 0.0
-    correct = np.abs(np.asarray(ref_cent) - np.asarray(est_cent)) <= cent_tolerance
-    return float(np.logical_and(ref_voicing, correct).sum() / n_voiced)
+    nonzero = np.logical_and(ref_cent != 0, est_cent != 0)
+    correct = np.abs(ref_cent - est_cent) < cent_tolerance
+    return float((ref_voicing & nonzero & correct).sum() / n_voiced)
 
 
 def raw_chroma_accuracy(ref_voicing, ref_cent, est_voicing, est_cent, cent_tolerance=50.0):
     ref_voicing = np.asarray(ref_voicing, bool)
+    ref_cent = np.asarray(ref_cent)
+    est_cent = np.asarray(est_cent)
     n_voiced = ref_voicing.sum()
     if n_voiced == 0:
         return 0.0
-    diff = np.asarray(ref_cent) - np.asarray(est_cent)
+    nonzero = np.logical_and(ref_cent != 0, est_cent != 0)
+    diff = np.abs(ref_cent - est_cent)
     folded = np.abs(diff - 1200.0 * np.floor(diff / 1200.0 + 0.5))
-    return float(np.logical_and(ref_voicing, folded <= cent_tolerance).sum() / n_voiced)
+    correct = folded < cent_tolerance
+    return float((ref_voicing & nonzero & correct).sum() / n_voiced)
 
 
 def overall_accuracy(ref_voicing, ref_cent, est_voicing, est_cent, cent_tolerance=50.0):
     ref_voicing = np.asarray(ref_voicing, bool)
     est_voicing = np.asarray(est_voicing, bool)
+    ref_cent = np.asarray(ref_cent)
+    est_cent = np.asarray(est_cent)
     n = len(ref_voicing)
     if n == 0:
         return 0.0
-    pitch_ok = np.abs(np.asarray(ref_cent) - np.asarray(est_cent)) <= cent_tolerance
+    nonzero = np.logical_and(ref_cent != 0, est_cent != 0)
+    pitch_ok = np.abs(ref_cent - est_cent) < cent_tolerance
     correct = np.logical_or(
-        ref_voicing & est_voicing & pitch_ok,
+        ref_voicing & est_voicing & nonzero & pitch_ok,
         ~ref_voicing & ~est_voicing,
     )
     return float(correct.sum() / n)
