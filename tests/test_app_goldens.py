@@ -81,15 +81,20 @@ def _family_tracks(family: str):
         logits[np.arange(T), path] += np.where(voiced, 6.0, 0.0)
         notes = np.where(voiced, spec.note_range[path], 0.0).astype(np.float32)
         freqs = np.where(notes > 0, midi_to_hz(notes), 0.0)
-        tracks.append(
-            dict(
-                logits=logits,
-                notes=notes,
-                original=dict(
-                    times=np.arange(T) * spec.hop_seconds, freqs=freqs
-                ),
-            )
+        track = dict(
+            logits=logits,
+            notes=notes,
+            original=dict(
+                times=np.arange(T) * spec.hop_seconds, freqs=freqs
+            ),
         )
+        if family == "jdc":
+            # jdc's raw path thresholds the model's combined voicing head
+            # (jdc/acoustic_module.py:74-81): pin that path too
+            track["voicing_logits"] = (
+                np.where(voiced, 3.0, -3.0) + rng.normal(0, 0.5, T)
+            ).astype(np.float32)
+        tracks.append(track)
     return spec, A, pi, tracks
 
 

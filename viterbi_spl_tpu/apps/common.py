@@ -61,6 +61,21 @@ class AppConfig:
     # compiled shapes; logits match the per-length forward to XLA
     # vectorization ulp (models/dcnet.py docstring, tests/test_bucketing.py)
     supports_valid_frames: bool = False
+    # manual weight decay on a single kernel: (param path, wd). The dcnet
+    # rule — grad += wd * w on the global conv kernel only, applied every
+    # step (dcnet/softmax_viterbi.py:293-364 + :3426)
+    weight_decay: tuple | None = None
+    # l2 regularization added to the training loss: (param paths, scale).
+    # The jdc kernels carry l2(1e-5) (jdc/acoustic_module.py:35,39,64)
+    l2_reg: tuple | None = None
+    # learning-rate schedule factory (base_lr, steps_per_epoch) -> step fn;
+    # feeds optax.adam (tonet's warm-up/decay, tonet/model/tonet.py:474-490)
+    lr_schedule: Callable | None = None
+    # model output -> [B, T] voicing logits (jdc's combined voicing head,
+    # jdc/acoustic_module.py:74-81). When set, the raw path's voicing
+    # decision and the validation threshold grid score this head instead of
+    # the peak pitch probability
+    voicing_adapter: Callable | None = None
 
 
 def synthetic_dataset(
@@ -110,8 +125,44 @@ def init_model(cfg: AppConfig, sample_batch: np.ndarray):
 
 
 def make_train_step(cfg: AppConfig, model, tx):
+    """Jitted train step. Returns (params, batch_stats, opt_state, loss,
+    counts) where `counts` is the full training-split metric count dict
+    computed ON DEVICE from this batch's logits (the reference accumulates
+    VRR..OA over training batches every epoch,
+    dcnet/softmax_viterbi.py:1599-1850) — a dozen int64 scalars, no
+    posteriorgram readback."""
+    spec_family = cfg.family
+
+    def train_counts(notes, out, threshold):
+        logits = cfg.logits_adapter(out)  # [B, T, n_bins]
+        n_bins = logits.shape[-1]
+        probs = jax.nn.sigmoid(logits.reshape(-1, n_bins))
+        ref = notes.reshape(-1)
+        peak_idx = jnp.argmax(probs, axis=1).astype(jnp.int32)
+        if cfg.voicing_adapter is not None:
+            voicing_probs = jax.nn.sigmoid(
+                cfg.voicing_adapter(out).reshape(-1)
+            )
+        else:
+            voicing_probs = jnp.take_along_axis(
+                probs, peak_idx[:, None], axis=1
+            )[:, 0]
+        if spec_family is not None and not spec_family.interp_est_notes:
+            grid = spec_family.note_min + jnp.arange(n_bins) / \
+                spec_family.bins_per_semitone
+            est = grid[peak_idx]
+        else:
+            nm = spec_family.note_min if spec_family is not None else 0.0
+            bps = (spec_family.bins_per_semitone
+                   if spec_family is not None else 1.0)
+            est = est_notes_interp(peak_idx, probs, nm, bps, n_bins)
+        return frame_counts(
+            ref, est, voicing_probs,
+            jnp.asarray(threshold, jnp.float32)[None],
+        )
+
     @jax.jit
-    def train_step(params, batch_stats, opt_state, batch, step):
+    def train_step(params, batch_stats, opt_state, batch, step, threshold):
         spec, notes = batch
         if cfg.input_adapter is not None:
             spec = cfg.input_adapter(spec)
@@ -119,7 +170,7 @@ def make_train_step(cfg: AppConfig, model, tx):
         # stochastic dropout, dcnet/softmax_viterbi.py:3399-3434)
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(1), step)
 
-        def loss(p):
+        def loss_with_out(p):
             out, upd = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 spec,
@@ -127,19 +178,55 @@ def make_train_step(cfg: AppConfig, model, tx):
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
             )
-            return cfg.loss_fn(notes, out), upd["batch_stats"]
+            l = cfg.loss_fn(notes, out)
+            if cfg.l2_reg is not None:
+                from ..harness.train import l2_regularization
 
-        (l, bs), grads = jax.value_and_grad(loss, has_aux=True)(params)
+                paths, scale = cfg.l2_reg
+                l = l + l2_regularization(p, paths, scale)
+            return l, (upd["batch_stats"], out)
+
+        (l, (bs, out)), grads = jax.value_and_grad(
+            loss_with_out, has_aux=True
+        )(params)
+        if cfg.weight_decay is not None:
+            from ..harness.train import add_weight_decay_grad
+
+            path, wd = cfg.weight_decay
+            grads = add_weight_decay_grad(grads, params, path, wd)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, bs, opt_state, l
+        counts = (
+            train_counts(notes, out, threshold)
+            if cfg.logits_adapter is not None else None
+        )
+        return params, bs, opt_state, l, counts
 
     return train_step
 
 
-def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset):
-    """Ordered inference over a dataset -> per-track pitch logits [T, n_bins]."""
+def make_optimizer(cfg: AppConfig, steps_per_epoch: int):
+    """Adam, optionally under the family's own LR schedule keyed by the
+    optimizer step count (tonet's warm-up/decay,
+    tonet/model/tonet.py:474-490 configure_optimizers)."""
+    if cfg.lr_schedule is not None:
+        return optax.adam(
+            learning_rate=cfg.lr_schedule(cfg.learning_rate, steps_per_epoch)
+        )
+    return optax.adam(cfg.learning_rate)
+
+
+def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset,
+                             with_voicing: bool = False):
+    """Ordered inference over a dataset -> per-track pitch logits [T, n_bins].
+
+    with_voicing=True (and cfg.voicing_adapter set) additionally returns
+    per-track [T] voicing logits from the model's voicing head — the jdc
+    combined voicing output (jdc/acoustic_module.py:74-81). Returns
+    (logits_list, voicing_list) in that case; voicing_list is None when the
+    family has no voicing head."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    want_voicing = with_voicing and cfg.voicing_adapter is not None
 
     @jax.jit
     def forward(spec):
@@ -147,21 +234,32 @@ def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset):
             spec = cfg.input_adapter(spec)
         return model.apply(variables, spec, train=False)
 
+    def split_out(out):
+        lg = np.asarray(cfg.logits_adapter(out))[0]
+        if want_voicing:
+            return lg, np.asarray(cfg.voicing_adapter(out))[0]
+        return lg, None
+
+    def pack(logits_list, voicing_list):
+        if not with_voicing:
+            return logits_list
+        return logits_list, (voicing_list if want_voicing else None)
+
     if cfg.fixed_chunks:
         from ..data import chunk_fixed
 
-        out_list = []
+        out_list, v_list = [], []
         for track in dataset.tracks:
             chunks, _, T = chunk_fixed(
                 track.spectrogram, track.notes, cfg.snippet_len
             )
-            logits = np.concatenate(
-                [np.asarray(cfg.logits_adapter(forward(jnp.asarray(c)[None])))[0]
-                 for c in chunks],
-                axis=0,
-            )
-            out_list.append(logits[:T])
-        return out_list
+            parts = [split_out(forward(jnp.asarray(c)[None])) for c in chunks]
+            out_list.append(np.concatenate([p[0] for p in parts], axis=0)[:T])
+            if want_voicing:
+                v_list.append(
+                    np.concatenate([p[1] for p in parts], axis=0)[:T]
+                )
+        return pack(out_list, v_list)
 
     @jax.jit
     def forward_masked(spec, valid):
@@ -169,7 +267,7 @@ def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset):
             spec = cfg.input_adapter(spec)
         return model.apply(variables, spec, train=False, valid_frames=valid)
 
-    per_track: dict[int, list[np.ndarray]] = {}
+    per_track: dict[int, list] = {}
     for item in inference_snippets(dataset, cfg.snippet_len):
         spec = item["spectrogram"]
         T_snip = spec.shape[0]
@@ -183,36 +281,77 @@ def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset):
             padded = np.zeros((T_b, *spec.shape[1:]), spec.dtype)
             padded[:T_snip] = spec
             out = forward_masked(jnp.asarray(padded)[None], jnp.int32(T_snip))
-            logits = np.asarray(cfg.logits_adapter(out))[0, :T_snip]
+            lg, v = split_out(out)
+            lg = lg[:T_snip]
+            v = v[:T_snip] if v is not None else None
         else:
             out = forward(jnp.asarray(spec)[None])
-            logits = np.asarray(cfg.logits_adapter(out))[0]
-        per_track.setdefault(item["rec_idx"], []).append(logits)
-    return [
-        np.concatenate(per_track[i], axis=0)[: dataset[i].num_frames]
+            lg, v = split_out(out)
+        per_track.setdefault(item["rec_idx"], []).append((lg, v))
+    logits_list = [
+        np.concatenate([p[0] for p in per_track[i]], axis=0)[
+            : dataset[i].num_frames
+        ]
         for i in range(len(dataset))
     ]
+    v_list = []
+    if want_voicing:
+        v_list = [
+            np.concatenate([p[1] for p in per_track[i]], axis=0)[
+                : dataset[i].num_frames
+            ]
+            for i in range(len(dataset))
+        ]
+    return pack(logits_list, v_list)
 
 
 def make_validate(cfg: AppConfig, model, dataset):
+    spec = cfg.family
+
     def validate(state: TrainState) -> dict:
-        logits_list = model_logits_for_dataset(cfg, model, state, dataset)
+        out = model_logits_for_dataset(cfg, model, state, dataset,
+                                       with_voicing=True)
+        logits_list, voicing_list = out
         mm = MelodyMetrics.validation_grid(len(dataset))
         for rec_idx, logits in enumerate(logits_list):
             probs = jax.nn.sigmoid(jnp.asarray(logits))
             peak_idx = jnp.argmax(probs, axis=1).astype(jnp.int32)
-            peak_probs = jnp.take_along_axis(probs, peak_idx[:, None], axis=1)[:, 0]
-            est = est_notes_interp(
-                peak_idx, probs, cfg.family.note_min,
-                cfg.family.bins_per_semitone, cfg.family.n_bins,
-            )
+            if voicing_list is not None:
+                # the voicing head's probability feeds the threshold grid
+                # (jdc's combined voicing, jdc/acoustic_module.py:74-81)
+                voicing_probs = jax.nn.sigmoid(
+                    jnp.asarray(voicing_list[rec_idx])
+                )
+            else:
+                voicing_probs = jnp.take_along_axis(
+                    probs, peak_idx[:, None], axis=1
+                )[:, 0]
+            if spec.interp_est_notes:
+                est = est_notes_interp(
+                    peak_idx, probs, spec.note_min,
+                    spec.bins_per_semitone, spec.n_bins,
+                )
+            else:
+                # jdc maps bins to notes directly (viterbi_softmax.py:2471)
+                grid = spec.note_min + jnp.arange(spec.n_bins) / \
+                    spec.bins_per_semitone
+                est = grid[peak_idx]
             counts = frame_counts(
-                jnp.asarray(dataset[rec_idx].notes), est, peak_probs,
+                jnp.asarray(dataset[rec_idx].notes), est, voicing_probs,
                 jnp.asarray(mm.thresholds),
             )
             mm.update(rec_idx, {k: np.asarray(v) for k, v in counts.items()})
         idx, th = mm.best_voicing_threshold()
-        return dict(oa=float(mm.results(idx)["oa"].mean()), voicing_threshold=th)
+        results = mm.results(idx)
+        return dict(
+            oa=float(results["oa"].mean()),
+            voicing_threshold=th,
+            # full per-recording metric vectors at the selected threshold
+            # (feeds the per-epoch validation table, the reference's
+            # TBSummary tables, dcnet/softmax_viterbi.py:3232-3355)
+            results=results,
+            rec_names=list(dataset.track_ids),
+        )
 
     return validate
 
@@ -240,23 +379,40 @@ def build_decoder_setup(cfg: AppConfig, val_dataset, voicing_threshold: float,
         note_min=spec.note_min, bins_per_semitone=spec.bins_per_semitone,
         spw=spec.spw, voicing_threshold=voicing_threshold,
         hop_seconds=spec.hop_seconds, method=method,
+        threshold_is_logit=spec.threshold_is_logit,
+        interp_est_notes=spec.interp_est_notes,
     )
 
 
-def run_inference(cfg: AppConfig, model, state, dataset, setup) -> dict:
-    logits_list = model_logits_for_dataset(cfg, model, state, dataset)
-    tracks = [
-        dict(
+def tracks_for_evaluation(cfg: AppConfig, model, state, dataset) -> list[dict]:
+    """Per-track evaluation inputs: pitch logits, reference notes, original
+    (times, freqs), and — when the family has a voicing head — the model's
+    per-frame voicing logits for the raw path's voicing decision."""
+    out = model_logits_for_dataset(cfg, model, state, dataset,
+                                   with_voicing=True)
+    logits_list, voicing_list = out
+    tracks = []
+    for i, (lg, track) in enumerate(zip(logits_list, dataset.tracks)):
+        t = dict(
             logits=lg,
             notes=track.notes,
-            original=dict(times=track.original_times, freqs=track.original_freqs),
+            original=dict(times=track.original_times,
+                          freqs=track.original_freqs),
         )
-        for lg, track in zip(logits_list, dataset.tracks)
-    ]
-    return evaluate_posteriorgrams(setup, tracks)
+        if voicing_list is not None:
+            t["voicing_logits"] = voicing_list[i]
+        tracks.append(t)
+    return tracks
 
 
-def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
+def run_inference(cfg: AppConfig, model, state, dataset, setup) -> dict:
+    return evaluate_posteriorgrams(
+        setup, tracks_for_evaluation(cfg, model, state, dataset)
+    )
+
+
+def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None,
+             build_external_datasets: Callable | None = None):
     ap = argparse.ArgumentParser(description=f"{cfg.family.name} app")
     ap.add_argument(
         "mode",
@@ -276,6 +432,11 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     ap.add_argument("--viterbi-method", default="shaun")
     ap.add_argument("--hard-threshold", type=float, default=0.5,
                     help="fixed threshold for hard-vs-auto mode")
+    ap.add_argument("--external-eval", action="store_true",
+                    help="infer mode: additionally evaluate every external "
+                         "corpus whose env root is set (adc04/mirex05/"
+                         "mir1k/rwc — the reference evaluates each family "
+                         "on all of them, dcnet/softmax_viterbi.py:860-1503)")
     ap.add_argument("--log-dir", default=None)
     ap.add_argument("--tensorboard", action="store_true",
                     help="mirror --log-dir scalars/tables into TensorBoard "
@@ -346,8 +507,11 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
     if cfg.input_adapter is not None:
         sample = np.asarray(cfg.input_adapter(jnp.asarray(sample)))
 
+    steps_per_epoch = args.steps_per_epoch or max(
+        len(datasets["training"]) * 4, 8
+    )
     model, params, batch_stats = init_model(cfg, sample)
-    tx = optax.adam(cfg.learning_rate)
+    tx = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(params=params, batch_stats=batch_stats,
                        opt_state=tx.init(params))
     validate = make_validate(cfg, model, datasets["validation"])
@@ -435,9 +599,7 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
                     yield (jax.device_put(spec, batch_sharding),
                            jax.device_put(notes, batch_sharding))
 
-        steps = args.steps_per_epoch or max(
-            len(datasets["training"]) * 4, 8
-        )
+        steps = steps_per_epoch
         reporter = None
         if args.log_dir:
             from .. harness.reporting import Reporter
@@ -445,11 +607,34 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
             reporter = Reporter(args.log_dir, tensorboard=args.tensorboard)
 
         def on_epoch_end(st, info):
-            if reporter is not None:
-                reporter.scalar("train_loss", info["train_loss"], st.epoch)
-                reporter.scalar("val_oa", info["val"]["oa"], st.epoch)
-                reporter.scalar(
-                    "voicing_threshold", st.voicing_threshold, st.epoch
+            if reporter is None:
+                return
+            reporter.scalar("train_loss", info["train_loss"], st.epoch)
+            reporter.scalar("val_oa", info["val"]["oa"], st.epoch)
+            reporter.scalar(
+                "voicing_threshold", st.voicing_threshold, st.epoch
+            )
+            # per-epoch training-split metric set + markdown tables (the
+            # reference computes VRR..OA on training batches every epoch
+            # and writes TB tables, dcnet/softmax_viterbi.py:1599-1850 +
+            # :3232-3355)
+            tm = info.get("train_metrics")
+            if tm is not None:
+                for k in ("vrr", "vfa", "va", "rpa_strict", "rca_strict",
+                          "oa"):
+                    reporter.scalar(f"train_{k}", tm[k], st.epoch)
+                reporter.table(
+                    "train",
+                    {k: np.asarray([v]) for k, v in tm.items()
+                     if k != "loss"},
+                    ["training"],
+                    step=st.epoch,
+                )
+            val = info["val"]
+            if "results" in val:
+                reporter.table(
+                    "validation", val["results"], val["rec_names"],
+                    step=st.epoch,
                 )
 
         state = trainer.fit(
@@ -479,22 +664,35 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None):
         from ..harness.reporting import Reporter
 
         reporter = Reporter(args.log_dir, tensorboard=args.tensorboard)
-    for split in ("validation", "test"):
-        out = run_inference(cfg, model, state, datasets[split], setup)
+
+    eval_sets = {s: datasets[s] for s in ("validation", "test")}
+    if args.external_eval:
+        if build_external_datasets is None:
+            raise SystemExit("external eval not wired for this family yet")
+        external = build_external_datasets(debug=args.debug)
+        if not external:
+            print("--external-eval: no external corpus roots set "
+                  "(adc04/mirex05/mir1k/rwc)")
+        eval_sets.update(external)
+
+    outputs = dict(state=state)
+    for split, dataset in eval_sets.items():
+        out = run_inference(cfg, model, state, dataset, setup)
+        outputs[split] = out
         print(
             f"{split}: raw OA {out['raw_mean_oa']:.4f}, "
             f"viterbi OA {out['viterbi_mean_oa']:.4f}"
         )
         if reporter is not None:
-            names = list(datasets[split].track_ids)
+            names = list(dataset.track_ids)
             reporter.table(f"{split}/raw", out["raw"], names)
             reporter.table(f"{split}/viterbi", out["viterbi"], names)
         if args.dump_tracks and split == "test":
-            dump_analysis_tracks(cfg, model, state, datasets[split], setup,
+            dump_analysis_tracks(cfg, model, state, dataset, setup,
                                  args.dump_tracks)
     if reporter is not None:
         reporter.close()
-    return state
+    return outputs
 
 
 def dump_analysis_tracks(cfg, model, state, dataset, setup, out_dir):
@@ -507,9 +705,14 @@ def dump_analysis_tracks(cfg, model, state, dataset, setup, out_dir):
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    logits_list = model_logits_for_dataset(cfg, model, state, dataset)
-    for track, logits in zip(dataset.tracks, logits_list):
-        r = decode_and_score_track(setup, logits, track.notes)
+    logits_list, voicing_list = model_logits_for_dataset(
+        cfg, model, state, dataset, with_voicing=True
+    )
+    for i, (track, logits) in enumerate(zip(dataset.tracks, logits_list)):
+        r = decode_and_score_track(
+            setup, logits, track.notes,
+            voicing_logits=None if voicing_list is None else voicing_list[i],
+        )
         piano_roll_figure(
             out / f"{track.track_id}.png",
             track.notes,
@@ -599,6 +802,9 @@ def build_external_eval_datasets(
             ),
             mir1k_lb,
             max_length_diff=2,
+            # the .pv grid undershoots the audio; the reference zero-pads
+            # short labels for mir1k (dcnet/softmax_viterbi.py:1262-1268)
+            pad_short_notes=True,
         )
 
     if os.environ.get("rwc"):

@@ -20,6 +20,9 @@ def config() -> AppConfig:
         learning_rate=1e-4,
         feature_shape=(500,),
         supports_valid_frames=True,
+        # manual wd=2e-4 on the global conv kernel only, applied to the
+        # gradient every step (dcnet/softmax_viterbi.py:311 + :3426)
+        weight_decay=(DCNet.global_conv_kernel_path(), 2e-4),
     )
 
 
@@ -52,8 +55,22 @@ def build_real_datasets(debug: bool = False):
     }
 
 
+def build_external_datasets(debug: bool = False):
+    """adc04/mirex05/mir1k/rwc on the NSGT front-end (dcnet/main.py
+    TFDatasetForAdc04..ForRWC)."""
+    from ..frontend.nsgt import dcnet_feature, nsgt_for_length
+    from .common import build_external_eval_datasets
+
+    def spec_fn(samples):
+        nsgt = nsgt_for_length(len(samples))
+        return dcnet_feature(nsgt.transform_track(samples))
+
+    return build_external_eval_datasets(spec_fn, sr=44100, debug=debug)
+
+
 def main(argv=None):
-    return app_main(config(), build_real_datasets, argv)
+    return app_main(config(), build_real_datasets, argv,
+                    build_external_datasets=build_external_datasets)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,12 @@ def config() -> AppConfig:
         learning_rate=1e-4,
         feature_shape=(513,),
         fixed_chunks=True,
+        # the reference's conv kernels carry l2(1e-5) regularizers that
+        # enter the training loss (jdc/acoustic_module.py:35,39,64)
+        l2_reg=(JDC.l2_param_paths(), 1e-5),
+        # the combined voicing head drives the raw path's voicing decision
+        # and the validation threshold grid (jdc/acoustic_module.py:74-81)
+        voicing_adapter=lambda out: out["voicing"],
     )
 
 
@@ -55,8 +61,20 @@ def build_real_datasets(debug: bool = False):
     }
 
 
+def build_external_datasets(debug: bool = False):
+    """adc04/mirex05/mir1k/rwc evaluation sets on the jdc STFT front-end
+    with 10 ms label resampling (jdc/kum_m2m3.py dataset classes)."""
+    from ..frontend import jdc_spectrogram
+    from .common import build_external_eval_datasets
+
+    return build_external_eval_datasets(
+        jdc_spectrogram, sr=8000, labels_on_10ms=True, debug=debug
+    )
+
+
 def main(argv=None):
-    return app_main(config(), build_real_datasets, argv)
+    return app_main(config(), build_real_datasets, argv,
+                    build_external_datasets=build_external_datasets)
 
 
 if __name__ == "__main__":

@@ -24,19 +24,11 @@ from ..harness.threshold import (
 
 
 def _tracks_for(cfg, model, state, dataset):
-    from .common import model_logits_for_dataset
+    # carries voicing_logits when the family has a voicing head (jdc), so
+    # the calibration sweeps threshold the same score the raw path uses
+    from .common import tracks_for_evaluation
 
-    logits_list = model_logits_for_dataset(cfg, model, state, dataset)
-    return [
-        dict(
-            logits=lg,
-            notes=track.notes,
-            original=dict(
-                times=track.original_times, freqs=track.original_freqs
-            ),
-        )
-        for lg, track in zip(logits_list, dataset.tracks)
-    ]
+    return tracks_for_evaluation(cfg, model, state, dataset)
 
 
 def run_calibration_mode(

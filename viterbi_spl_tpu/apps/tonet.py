@@ -46,6 +46,9 @@ def config() -> AppConfig:
         feature_shape=(3, 360),
         fixed_chunks=True,
         input_adapter=_input_adapter,
+        # the original module's warm-up/decay schedule feeds the optimizer
+        # (tonet/model/tonet.py:474-490 configure_optimizers)
+        lr_schedule=tonet_lr_schedule,
     )
 
 
@@ -80,6 +83,25 @@ def build_real_datasets(debug: bool = False):
     }
 
 
+def build_external_datasets(debug: bool = False):
+    """adc04/mirex05/mir1k/rwc on the tonet CFP front-end ([T, 3, 360]
+    layout) with 10 ms labels (tonet/main_shaun.py dataset classes)."""
+    import numpy as np
+
+    from ..frontend import CFP, TONET_CFP
+    from .common import build_external_eval_datasets
+
+    cfp = CFP(TONET_CFP)
+
+    def spec_fn(samples):
+        feat = cfp.features(samples)  # [T, 360, 3]
+        return np.ascontiguousarray(feat.transpose(0, 2, 1))
+
+    return build_external_eval_datasets(
+        spec_fn, sr=8000, labels_on_10ms=True, debug=debug
+    )
+
+
 def main(argv=None):
     """TONet app with the reference's ablation axes: --backbone and --mode
     (tonet/model/tonet.py:24-265) are consumed here and baked into the
@@ -109,7 +131,8 @@ def main(argv=None):
                 mode=known.mode, backbone=known.backbone, **kw
             ),
         )
-    return app_main(cfg, build_real_datasets, rest)
+    return app_main(cfg, build_real_datasets, rest,
+                    build_external_datasets=build_external_datasets)
 
 
 if __name__ == "__main__":

@@ -42,14 +42,28 @@ def sweep_voicing_thresholds(
         T, n_bins = logits.shape
         probs = jax.nn.sigmoid(jnp.asarray(logits))
         peak_idx = jnp.argmax(probs, axis=1).astype(jnp.int32)
-        peak_probs = jnp.take_along_axis(probs, peak_idx[:, None], axis=1)[:, 0]
-        est_notes = est_notes_interp(
-            peak_idx, probs, setup.note_min, setup.bins_per_semitone, n_bins
-        )
+        if track.get("voicing_logits") is not None:
+            # a separate voicing head (jdc) supplies the thresholded score
+            voicing_probs = jax.nn.sigmoid(
+                jnp.asarray(track["voicing_logits"], jnp.float32)
+            )
+        else:
+            voicing_probs = jnp.take_along_axis(
+                probs, peak_idx[:, None], axis=1
+            )[:, 0]
+        if setup.interp_est_notes:
+            est_notes = est_notes_interp(
+                peak_idx, probs, setup.note_min, setup.bins_per_semitone,
+                n_bins,
+            )
+        else:
+            grid = setup.note_min + jnp.arange(n_bins) / \
+                setup.bins_per_semitone
+            est_notes = grid[peak_idx]
         counts = frame_counts(
             jnp.asarray(track["notes"], jnp.float32),
             est_notes,
-            peak_probs,
+            voicing_probs,
             jnp.asarray(mm.thresholds),
         )
         mm.update(rec_idx, {k: np.asarray(v) for k, v in counts.items()})
