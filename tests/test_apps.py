@@ -227,3 +227,41 @@ def test_mesh_data_parallel_training_matches_single_device(tmp_path):
     np.testing.assert_allclose(
         losses["mesh"], losses["single"], rtol=1e-4
     )
+
+
+def test_per_epoch_train_metrics_and_tables(tmp_path):
+    """The reference computes the full VRR..OA set on training batches
+    every epoch and writes TB metric tables (dcnet/softmax_viterbi.py:
+    1599-1850, :3232-3355): events.jsonl from a synthetic run must carry
+    per-epoch train metrics (plausible, improving) and train/validation
+    markdown tables."""
+    import json
+
+    from viterbi_spl_tpu.apps import msnet
+
+    log = tmp_path / "log"
+    msnet.main(
+        ["train", "--synthetic", "--debug", "--ckpt", str(tmp_path / "ck"),
+         "--epochs", "4", "--steps-per-epoch", "8", "--patience", "10",
+         "--log-dir", str(log)]
+    )
+    with open(log / "events.jsonl") as fh:
+        events = [json.loads(line) for line in fh]
+
+    oas = [e["value"] for e in events if e.get("tag") == "train_oa"]
+    assert len(oas) == 4  # one per epoch
+    assert all(0.0 <= v <= 1.0 for v in oas)
+    # the synthetic task is learnable: training OA must not degrade
+    assert max(oas[1:]) >= oas[0]
+    for tag in ("train_vrr", "train_vfa", "train_va", "train_rpa_strict"):
+        vals = [e["value"] for e in events if e.get("tag") == tag]
+        assert len(vals) == 4 and all(0.0 <= v <= 1.0 for v in vals)
+
+    ttables = [e for e in events
+               if e.get("kind") == "text" and e.get("tag") == "train"]
+    vtables = [e for e in events
+               if e.get("kind") == "text" and e.get("tag") == "validation"]
+    assert len(ttables) == 4 and len(vtables) == 4
+    assert "| training |" in ttables[0]["text"]
+    assert "| vrr |" in ttables[0]["text"]
+    assert "**average**" in vtables[0]["text"]

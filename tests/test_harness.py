@@ -157,7 +157,8 @@ def test_train_step_dropout_rng_varies_per_step():
     opt = tx.init(params)
     notes = jnp.linspace(0.5, 1.5, 8 * 64).reshape(8, 64)
     losses = [
-        float(step_fn(params, bs, opt, (x, notes), s)[3]) for s in (0, 1, 0)
+        float(step_fn(params, bs, opt, (x, notes), s, 0.5)[3])
+        for s in (0, 1, 0)
     ]
     assert losses[0] != losses[1], "dropout mask identical across steps"
     assert losses[0] == losses[2], "dropout mask not reproducible per step"

