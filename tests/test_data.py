@@ -252,3 +252,22 @@ def test_load_aiff_raw(tmp_path, rng):
         out, sr = loader(path, True)
         assert sr == 44100
         np.testing.assert_allclose(out, pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+def test_tonet_f0ref_label(tmp_path, monkeypatch):
+    """Yu's precomputed 10 ms f0 references from $fatnet_spec/f0ref
+    (tonet/main_shaun.py:386-406)."""
+    from viterbi_spl_tpu.data.labels import tonet_f0ref_label
+
+    (tmp_path / "f0ref").mkdir()
+    freqs = [0.0, 220.0, 220.0, 0.0, 440.0]
+    with open(tmp_path / "f0ref" / "Song_MIX.txt", "w") as fh:
+        for k, f in enumerate(freqs):
+            fh.write(f"{float(k * 0.01)!r} {float(f)!r}\n")
+    monkeypatch.setenv("fatnet_spec", str(tmp_path))
+    lb = tonet_f0ref_label("Song")
+    assert len(lb["notes"]) == 5
+    assert lb["notes"][0] == 0.0
+    assert abs(lb["notes"][1] - 57.0) < 1e-6  # 220 Hz = MIDI 57
+    assert abs(lb["notes"][4] - 69.0) < 1e-6
+    np.testing.assert_allclose(lb["original"]["freqs"], freqs)

@@ -51,8 +51,22 @@ def build_real_datasets(debug: bool = False):
     }
 
 
+def build_external_datasets(debug: bool = False):
+    """adc04/mirex05/mir1k/rwc on the ftanet CFP front-end with 10 ms
+    labels (ftanet/viterbi_performance.py dataset classes)."""
+    from ..frontend import CFP, FTANET_CFP
+    from .common import build_external_eval_datasets
+
+    cfp = CFP(FTANET_CFP)
+    return build_external_eval_datasets(
+        lambda samples: cfp.features(samples), sr=8000,
+        labels_on_10ms=True, debug=debug,
+    )
+
+
 def main(argv=None):
-    return app_main(config(), build_real_datasets, argv)
+    return app_main(config(), build_real_datasets, argv,
+                    build_external_datasets=build_external_datasets)
 
 
 if __name__ == "__main__":

@@ -145,6 +145,50 @@ def main(argv=None):
     return out
 
 
+def separate_stereo_samples(
+    imm: IMM, left: np.ndarray, right: np.ndarray, setup: DecoderSetup,
+    seed: int = 0,
+) -> dict:
+    """Full stereo separation chain (imm/tf_imm.py:354-618 + :720-739):
+
+    1. mono NMF fit on the channel mean -> log-energy logits,
+    2. Viterbi melody decode (shaun observation model, shaped decoding),
+    3. melody-constrained sHF0 (half a semitone around the decoded bin),
+    4. stereo NMF pass with per-channel gains (alphaL/R, betaL/R),
+    5. Wiener-mask ISTFT resynthesis.
+
+    Returns dict(melody=[n, 2], accompaniment=[n, 2] float32,
+    states=[T] decoded states, voiced=[T] bool).
+    """
+    XL = np.asarray(imm.stft.stft(left))
+    XR = np.asarray(imm.stft.stft(right))
+    SXL = np.abs(XL) ** 2
+    SXR = np.abs(XR) ** 2
+    mix = 0.5 * (left + right)
+    SX = np.abs(np.asarray(imm.stft.stft(mix))) ** 2
+
+    fit = imm.fit(SX, seed=seed)
+    logits = imm_pitch_logits(imm.logits_from_fit(fit, SX))
+    voiced, bins = setup.decode(logits)
+    states = np.where(voiced, bins, imm.config.U).astype(np.int64)
+
+    sHF0 = imm.constrained_HF0(fit["HF0"], states)
+    stereo = imm.fit_stereo(SXL, SXR, sHF0, seed=seed)
+    sep = imm.separate_stereo(XL, XR, stereo)
+
+    n = len(left)
+    def pair(key):
+        yL, yR = sep[key]
+        return np.stack([yL[:n], yR[:n]], axis=1).astype(np.float32)
+
+    return dict(
+        melody=pair("melody"),
+        accompaniment=pair("accompaniment"),
+        states=states,
+        voiced=voiced,
+    )
+
+
 def evaluate_imm_original(imm: IMM, fits_and_labels) -> dict:
     """The reference's 'original' IMM method (imm/tf_imm.py:680-776 +
     MetricsOriginal in imm/main_imm.py): decode the raw HF0 salience with

@@ -51,8 +51,21 @@ def build_real_datasets(debug: bool = False):
     }
 
 
+def build_external_datasets(debug: bool = False):
+    """adc04/mirex05/mir1k/rwc evaluation sets on the msnet CFP front-end
+    (the reference's TFDatasetForAdc04..ForRWC, msnet/hsieh_m2m3.py)."""
+    from ..frontend import CFP, MSNET_CFP
+    from .common import build_external_eval_datasets
+
+    cfp = CFP(MSNET_CFP)
+    return build_external_eval_datasets(
+        lambda samples: cfp.features(samples), sr=44100, debug=debug
+    )
+
+
 def main(argv=None):
-    return app_main(config(), build_real_datasets, argv)
+    return app_main(config(), build_real_datasets, argv,
+                    build_external_datasets=build_external_datasets)
 
 
 if __name__ == "__main__":

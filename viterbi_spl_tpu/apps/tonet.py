@@ -52,9 +52,16 @@ def config() -> AppConfig:
     )
 
 
-def build_real_datasets(debug: bool = False):
+def build_real_datasets(debug: bool = False, labels: str = "m2m3"):
+    """labels: 'm2m3' derives labels from MedleyDB MELODY2 + vocal
+    sections; 'yu' consumes Yu's precomputed 10 ms f0 references from
+    $fatnet_spec/f0ref (tonet/main_shaun.py:386-406 gen_label_yu_fn)."""
     from ..data import TrackDataset, medleydb_splits
-    from ..data.labels import medleydb_label, resample_notes_to_10ms
+    from ..data.labels import (
+        medleydb_label,
+        resample_notes_to_10ms,
+        tonet_f0ref_label,
+    )
     from ..data.vocals import is_vocals_from_sections
     from ..frontend import CFP, TONET_CFP
     from ..io.wav import load_wav
@@ -69,10 +76,13 @@ def build_real_datasets(debug: bool = False):
         feat = cfp.features(samples)  # [T, 360, 3]
         return np.ascontiguousarray(feat.transpose(0, 2, 1))  # [T, 3, 360]
 
-    def label_fn(tid):
-        lb = medleydb_label(tid, is_vocals_from_sections(tid))
-        lb["notes"] = resample_notes_to_10ms(lb["notes"])
-        return lb
+    if labels == "yu":
+        label_fn = tonet_f0ref_label
+    else:
+        def label_fn(tid):
+            lb = medleydb_label(tid, is_vocals_from_sections(tid))
+            lb["notes"] = resample_notes_to_10ms(lb["notes"])
+            return lb
 
     splits = medleydb_splits()
     if debug:
@@ -120,6 +130,10 @@ def main(argv=None):
                           "spat (single+transformer), spl (single+linear), "
                           "tcfp (dual, direct fusion), single (bare "
                           "backbone)")
+    pre.add_argument("--labels", default="m2m3", choices=("m2m3", "yu"),
+                     help="label source: m2m3 (MedleyDB MELODY2 + vocal "
+                          "sections) or yu (precomputed $fatnet_spec/f0ref "
+                          "references, tonet/main_shaun.py:386-406)")
     known, rest = pre.parse_known_args(
         argv if argv is not None else sys.argv[1:]
     )
@@ -131,7 +145,11 @@ def main(argv=None):
                 mode=known.mode, backbone=known.backbone, **kw
             ),
         )
-    return app_main(cfg, build_real_datasets, rest,
+
+    def build_datasets(debug=False):
+        return build_real_datasets(debug=debug, labels=known.labels)
+
+    return app_main(cfg, build_datasets, rest,
                     build_external_datasets=build_external_datasets)
 
 

@@ -171,6 +171,55 @@ def imm_logits_from_wavs(paths, debug: bool = False):
     return logits, imm, imm_build_setup
 
 
+def run_imm_separation(paths, names, args):
+    """imm --separate: per input, the stereo separation pass writes
+    <out>/<name>_melody.wav + <name>_accompaniment.wav (stereo, at the imm
+    sample rate) and the decoded melody line (imm/tf_imm.py:354-618)."""
+    from ..apps.imm import build_setup as imm_build_setup
+    from ..apps.imm import separate_stereo_samples
+    from ..io.wav import load_wav, save_wav
+    from ..models.imm import IMM, IMMConfig
+
+    cfg = (
+        IMMConfig(w=512, h=64, niters=15, R=6, P=8, K=4, bins_per_note=4)
+        if args.debug
+        else IMMConfig()
+    )
+    imm = IMM(cfg)
+    setup = imm_build_setup(imm, method=args.method)
+    if args.threshold is not None:
+        setup = dataclasses.replace(setup, voicing_threshold=args.threshold)
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    results = []
+    for path, name in zip(paths, names):
+        samples, _ = load_wav(path, sr=imm.config.fs, mono=False)
+        if samples.ndim == 1:
+            print(f"{name}: mono input — separating with identical channels")
+            left = right = samples
+        else:
+            left, right = samples[:, 0], samples[:, 1]
+        r = separate_stereo_samples(imm, left, right, setup)
+        save_wav(out_dir / f"{name}_melody.wav", r["melody"], imm.config.fs)
+        save_wav(
+            out_dir / f"{name}_accompaniment.wav", r["accompaniment"],
+            imm.config.fs,
+        )
+        # the melody line alongside (times + Hz, unvoiced = 0)
+        T = len(r["states"])
+        times = np.arange(T) * imm.config.h / imm.config.fs
+        f0s = imm.melody_f0s(r["states"], r["voiced"])
+        np.savetxt(
+            out_dir / f"{name}_melody.txt",
+            np.stack([times, f0s], axis=1),
+            fmt="%.6f",
+        )
+        print(f"{name}: separated -> {out_dir}")
+        results.append(r)
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description="End-to-end melody transcription (wav -> melody lines)"
@@ -202,6 +251,12 @@ def main(argv=None):
                     help="run the model's convs/denses/LSTMs in bfloat16")
     ap.add_argument("--debug", action="store_true",
                     help="imm only: tiny NMF configuration (fast smoke)")
+    ap.add_argument("--separate", action="store_true",
+                    help="imm only: stereo source separation — the second "
+                         "melody-constrained NMF pass with per-channel "
+                         "gains + Wiener-mask resynthesis writes "
+                         "<name>_melody.wav and <name>_accompaniment.wav "
+                         "next to the melody lines (imm/tf_imm.py:354-618)")
     args = ap.parse_args(argv)
 
     paths = [Path(p) for p in args.inputs]
@@ -209,6 +264,12 @@ def main(argv=None):
     if missing:
         sys.exit(f"missing input files: {missing}")
     names = [p.stem for p in paths]
+
+    if args.separate and args.family != "imm":
+        sys.exit("--separate is the imm stereo separation pass")
+
+    if args.separate:
+        return run_imm_separation(paths, names, args)
 
     if args.family == "imm":
         logits_list, imm, imm_build_setup = imm_logits_from_wavs(

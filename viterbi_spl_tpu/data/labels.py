@@ -142,6 +142,23 @@ def mir1k_label(track_id: str, num_samples_16k: int, root: str | None = None) ->
     )
 
 
+def tonet_f0ref_label(track_id: str, root: str | None = None) -> dict:
+    """Yu's precomputed 10 ms f0 reference for the tonet harness:
+    $fatnet_spec/f0ref/<track>_MIX.txt with (time, freq) rows on the 10 ms
+    grid starting at 0 (tonet/main_shaun.py:386-406 gen_label_yu_fn)."""
+    root = root or os.environ["fatnet_spec"]
+    arr = read_times_freqs(os.path.join(root, "f0ref", track_id + "_MIX.txt"))
+    n = len(arr)
+    if arr[0, 0] != 0.0 or int(round(arr[-1, 0] / 0.01)) != n - 1:
+        raise ValueError("f0ref timebase is not the 10 ms grid")
+    freqs = arr[:, 1]
+    validity_check_of_ref_freqs(freqs)
+    return dict(
+        notes=notes_from_freqs(freqs),
+        original=dict(times=np.arange(n) * 0.01, freqs=freqs),
+    )
+
+
 def resample_notes_to_10ms(notes_256: np.ndarray) -> np.ndarray:
     """256-hop labels -> 10 ms grid for the jdc/ftanet/tonet families
     (jdc/kum_m2m3.py:389-421 semantics, in the pitch domain)."""

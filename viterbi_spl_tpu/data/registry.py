@@ -53,12 +53,19 @@ class Track:
 
 
 def reconcile_lengths(
-    spec: np.ndarray, notes: np.ndarray, max_diff: int = 1
+    spec: np.ndarray, notes: np.ndarray, max_diff: int = 1,
+    pad_short_notes: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Labels may exceed the spectrogram by up to `max_diff` frames; pad the
     spectrogram to match (dcnet/softmax_viterbi.py:522-528,
-    jdc/kum_m2m3.py:440-446 uses max_diff=2)."""
+    jdc/kum_m2m3.py:440-446 uses max_diff=2). With pad_short_notes, labels
+    SHORTER than the spectrogram are zero-padded (unvoiced) instead — the
+    mir1k rule, where the .pv grid undershoots the audio length
+    (dcnet/softmax_viterbi.py:1262-1268 pads either side)."""
     diff = len(notes) - len(spec)
+    if diff < 0 and pad_short_notes:
+        notes = np.pad(notes, (0, -diff))
+        return spec, notes
     if not (0 <= diff <= max_diff):
         raise ValueError(f"spec/label length difference {diff} out of range")
     if diff:
@@ -80,6 +87,7 @@ class TrackDataset:
         spec_fn: Callable[[str], np.ndarray],
         label_fn: Callable[[str], dict],
         max_length_diff: int = 1,
+        pad_short_notes: bool = False,
     ):
         self.track_ids = tuple(track_ids)
         self.tracks: list[Track] = []
@@ -88,7 +96,8 @@ class TrackDataset:
             label = label_fn(tid)
             notes = np.asarray(label["notes"], np.float32)
             spec, notes = reconcile_lengths(
-                np.asarray(spec, np.float32), notes, max_length_diff
+                np.asarray(spec, np.float32), notes, max_length_diff,
+                pad_short_notes=pad_short_notes,
             )
             self.tracks.append(
                 Track(

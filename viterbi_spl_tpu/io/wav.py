@@ -82,6 +82,17 @@ def load_wav(
     return samples, file_sr
 
 
+def save_wav(path: str | os.PathLike, samples: np.ndarray, sr: int) -> None:
+    """float32 [n] or [n, channels] in [-1, 1] -> PCM16 wav (the separation
+    resynthesis outputs, imm/tf_imm.py:354-618 drivers)."""
+    samples = np.asarray(samples)
+    peak = np.max(np.abs(samples)) if samples.size else 0.0
+    if peak > 1.0:
+        samples = samples / peak
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype(np.int16)
+    wavfile.write(str(path), sr, pcm)
+
+
 def load_aiff(path: str | os.PathLike, mono: bool = True) -> tuple[np.ndarray, int]:
     """AIFF loading (the RWC corpus ships 44.1 kHz stereo aiff files,
     dcnet/main.py:1400-1428). Returns (float32 samples in [-1, 1], sr).
