@@ -12,8 +12,12 @@ decode is verified against the reference-semantics NumPy oracle inside the
 same run (track 0's full-length path is replayed on the host, ~3.5 s; no
 extra kernel compiles — remote Mosaic compiles are the expensive part).
 
-Set BENCH_FULL=1 to also measure the dense-matrix batched kernel and the
-single-track kernel (extra compiles).
+The default detail also carries the end-to-end serving chains (raw logits
+-> fused Pallas observation kernel -> banded decode) at 361 and 722 bins
+with in-run oracle checks, and the banded-vs-dense on-device equality check
+— the driver artifact tracks serving progress per round (round-2 VERDICT
+Weak #6). Set BENCH_FULL=1 to also time the dense-matrix batched kernel and
+the single-track kernel (extra compiles).
 
 vs_baseline compares against the reference's canonical optimized NumPy
 decoder (dcnet/tf_viterbi_decoding.py:156-207 semantics, hmm/oracle.py) on
@@ -137,25 +141,30 @@ def main():
         "path_matches_oracle": bool(ok),
     }
 
-    if os.environ.get("BENCH_FULL") == "1":
-        from viterbi_spl_tpu.hmm.viterbi_pallas import (
-            viterbi_backtrace_pallas,
-            viterbi_forward_pallas,
-            viterbi_forward_pallas_batch,
+    from viterbi_spl_tpu.hmm.viterbi_pallas import (
+        viterbi_backtrace_pallas,
+        viterbi_forward_pallas,
+        viterbi_forward_pallas_batch,
+    )
+
+    lens16 = jnp.full((16,), T, jnp.int32)
+
+    @jax.jit
+    def decode_dense16(o):
+        t1, t1m1 = viterbi_forward_pallas_batch(
+            log_B_d, log_pi_d, o, lens16, block_frames=BLOCK, interpret=False
+        )
+        last = jnp.argmax(t1, axis=1).astype(jnp.int32)
+        return viterbi_backtrace_pallas_batch(
+            t1m1, log_B_d, last, lens16, block_frames=BLOCK, interpret=False
         )
 
-        lens16 = jnp.full((16,), T, jnp.int32)
+    _ = int(jnp.sum(decode_dense16(log_obs_b[:16]) % 7))
+    detail["banded_equals_dense_on_device"] = bool(
+        jnp.all(decode_banded(log_obs_b)[1:16] == decode_dense16(log_obs_b[:16])[1:])
+    )
 
-        @jax.jit
-        def decode_dense16(o):
-            t1, t1m1 = viterbi_forward_pallas_batch(
-                log_B_d, log_pi_d, o, lens16, block_frames=BLOCK, interpret=False
-            )
-            last = jnp.argmax(t1, axis=1).astype(jnp.int32)
-            return viterbi_backtrace_pallas_batch(
-                t1m1, log_B_d, last, lens16, block_frames=BLOCK, interpret=False
-            )
-
+    if os.environ.get("BENCH_FULL") == "1":
         @jax.jit
         def decode_single(o):
             t1, t1m1 = viterbi_forward_pallas(
@@ -166,132 +175,132 @@ def main():
                 t1m1, log_B_d, last, T, block_frames=512, interpret=False
             )
 
-        _ = int(jnp.sum(decode_dense16(log_obs_b[:16]) % 7))
-        detail["banded_equals_dense_on_device"] = bool(
-            jnp.all(decode_banded(log_obs_b)[1:16] == decode_dense16(log_obs_b[:16])[1:])
-        )
         fps_dense, _ = timed(decode_dense16, log_obs_b[:16], 16 * T)
         _ = int(jnp.sum(decode_single(log_obs_b[1]) % 7))
         fps_single, _ = timed(decode_single, log_obs_b[1], T)
         detail["dense_batch16_fps"] = round(fps_dense, 1)
         detail["single_track_fps"] = round(fps_single, 1)
 
-        # end-to-end serving: raw logits -> fused Pallas shaun observation
-        # kernel -> banded decode, all on-chip (the --fused-obs CLI path)
-        from viterbi_spl_tpu.hmm.obs_pallas import (
-            pad_logits_reflect,
-            shaun_log_obs_pallas,
+    # end-to-end serving (default detail): raw logits -> fused Pallas shaun
+    # observation kernel -> banded decode, all on-chip (the --fused-obs CLI
+    # path). Free the headline observations first (6.4 GB at N=128).
+    del log_obs_b
+
+    from viterbi_spl_tpu.hmm.obs_pallas import (
+        pad_logits_reflect,
+        shaun_log_obs_pallas,
+    )
+
+
+    T_SRV = 1 << 13  # logits + log-obs + t1m1 all resident
+    spw = 5
+    raw_logits = jax.random.normal(
+        jax.random.PRNGKey(2), (N, T_SRV, n_bins), jnp.float32
+    ) - 2.0
+    padded = jnp.asarray(
+        pad_logits_reflect(raw_logits, spw, P)
+    ).block_until_ready()
+    lens_srv = jnp.full((N,), T_SRV, jnp.int32)
+
+    @jax.jit
+    def serve(pl_in, l):
+        log_obs = shaun_log_obs_pallas(
+            pl_in, n_bins, spw, 0.0, block_frames=32, interpret=False
+        )
+        t1, t1m1 = viterbi_forward_pallas_banded_batch(
+            bstruct, log_pi_d, log_obs, l, block_frames=BLOCK,
+            interpret=False,
+        )
+        last = jnp.argmax(t1, axis=1).astype(jnp.int32)
+        return viterbi_backtrace_pallas_banded_batch(
+            bstruct, t1m1, last, l, block_frames=BLOCK, interpret=False
         )
 
-        T_SRV = 1 << 13  # logits + log-obs + t1m1 all resident
-        spw = 5
-        raw_logits = jax.random.normal(
-            jax.random.PRNGKey(2), (N, T_SRV, n_bins), jnp.float32
-        ) - 2.0
-        padded = jnp.asarray(
-            pad_logits_reflect(raw_logits, spw, P)
-        ).block_until_ready()
-        lens_srv = jnp.full((N,), T_SRV, jnp.int32)
+    _ = int(jnp.sum(serve(padded, lens_srv) % 7))
 
-        @jax.jit
-        def serve(pl_in, l):
-            log_obs = shaun_log_obs_pallas(
-                pl_in, n_bins, spw, 0.0, block_frames=32, interpret=False
-            )
-            t1, t1m1 = viterbi_forward_pallas_banded_batch(
-                bstruct, log_pi_d, log_obs, l, block_frames=BLOCK,
-                interpret=False,
-            )
-            last = jnp.argmax(t1, axis=1).astype(jnp.int32)
-            return viterbi_backtrace_pallas_banded_batch(
-                bstruct, t1m1, last, l, block_frames=BLOCK, interpret=False
-            )
+    def timed_srv():
+        t0 = time.perf_counter()
+        sums = [jnp.sum(serve(padded, lens_srv) % 7) for _ in range(8)]
+        _ = int(sum(sums))
+        return N * T_SRV / ((time.perf_counter() - t0) / 8)
 
-        _ = int(jnp.sum(serve(padded, lens_srv) % 7))
+    detail["serving_fused_obs_decode_fps"] = round(timed_srv(), 1)
 
-        def timed_srv():
-            t0 = time.perf_counter()
-            sums = [jnp.sum(serve(padded, lens_srv) % 7) for _ in range(8)]
-            _ = int(sum(sums))
-            return N * T_SRV / ((time.perf_counter() - t0) / 8)
+    # 722-bin serving chain (jdc configuration: 721 bins + unvoiced,
+    # spw=16, d_max=40, P=768) — obs kernel + banded decode end to end,
+    # oracle-checked on a short track 0 against the kernel's own
+    # log-observations (decode exactness; the obs kernel's tolerance
+    # contract is tested separately)
+    n_bins2, spw2, P2 = 721, 16, 768
+    S2 = n_bins2 + 1
+    N2, T2, T2_CHK = 64, 1 << 12, 1024
+    # free the 361-bin serving inputs first: logits + obs + t1m1 at
+    # [64, 4096, 768] is ~2.4 GB live, on top of the headline arrays
+    del padded
+    raw_logits = None  # noqa: F841 — drop the device reference
+    q2 = [np.clip(360 + np.cumsum(rng.integers(-3, 4, 5000)), 0, n_bins2 - 1)]
+    stats2 = hmm_params.count_statistics(q2, n_bins2)
+    A2 = hmm_params.shape_transition_matrix(
+        stats2.transition_counts,
+        np.array([[0.98, 0.02], [0.02, 0.98]]),
+        n_bins2,
+        40,
+        floor=2,
+    )
+    pi2 = hmm_params.shape_init_probs(stats2.p_steady, p_th=1e-4)
+    log_B2, log_pi2 = prepare_log_params(A2, pi2, pad_to=P2)
+    log_B2_d, log_pi2_d = jnp.asarray(log_B2), jnp.asarray(log_pi2)
+    bs2 = extract_banded_structure(A2, P2)
+    assert bs2 is not None
 
-        detail["serving_fused_obs_decode_fps"] = round(timed_srv(), 1)
+    raw2 = jax.random.normal(
+        jax.random.PRNGKey(3), (N2, T2, n_bins2), jnp.float32
+    ) - 2.0
+    padded2 = jnp.asarray(
+        pad_logits_reflect(raw2, spw2, P2)
+    ).block_until_ready()
+    lens2_np = np.full(N2, T2, np.int32)
+    lens2_np[0] = T2_CHK
+    lens2 = jnp.asarray(lens2_np)
 
-        # 722-bin serving chain (jdc configuration: 721 bins + unvoiced,
-        # spw=16, d_max=40, P=768) — obs kernel + banded decode end to end,
-        # oracle-checked on a short track 0 against the kernel's own
-        # log-observations (decode exactness; the obs kernel's tolerance
-        # contract is tested separately)
-        n_bins2, spw2, P2 = 721, 16, 768
-        S2 = n_bins2 + 1
-        N2, T2, T2_CHK = 64, 1 << 12, 1024
-        # free the 361-bin serving inputs first: logits + obs + t1m1 at
-        # [64, 4096, 768] is ~2.4 GB live, on top of the headline arrays
-        del padded
-        raw_logits = None  # noqa: F841 — drop the device reference
-        q2 = [np.clip(360 + np.cumsum(rng.integers(-3, 4, 5000)), 0, n_bins2 - 1)]
-        stats2 = hmm_params.count_statistics(q2, n_bins2)
-        A2 = hmm_params.shape_transition_matrix(
-            stats2.transition_counts,
-            np.array([[0.98, 0.02], [0.02, 0.98]]),
-            n_bins2,
-            40,
-            floor=2,
+    @jax.jit
+    def serve722(pl_in, l):
+        log_obs = shaun_log_obs_pallas(
+            pl_in, n_bins2, spw2, 0.0, block_frames=32, interpret=False
         )
-        pi2 = hmm_params.shape_init_probs(stats2.p_steady, p_th=1e-4)
-        log_B2, log_pi2 = prepare_log_params(A2, pi2, pad_to=P2)
-        log_B2_d, log_pi2_d = jnp.asarray(log_B2), jnp.asarray(log_pi2)
-        bs2 = extract_banded_structure(A2, P2)
-        assert bs2 is not None
-
-        raw2 = jax.random.normal(
-            jax.random.PRNGKey(3), (N2, T2, n_bins2), jnp.float32
-        ) - 2.0
-        padded2 = jnp.asarray(
-            pad_logits_reflect(raw2, spw2, P2)
-        ).block_until_ready()
-        lens2_np = np.full(N2, T2, np.int32)
-        lens2_np[0] = T2_CHK
-        lens2 = jnp.asarray(lens2_np)
-
-        @jax.jit
-        def serve722(pl_in, l):
-            log_obs = shaun_log_obs_pallas(
-                pl_in, n_bins2, spw2, 0.0, block_frames=32, interpret=False
-            )
-            t1, t1m1 = viterbi_forward_pallas_banded_batch(
-                bs2, log_pi2_d, log_obs, l, block_frames=BLOCK,
-                interpret=False,
-            )
-            last = jnp.argmax(t1, axis=1).astype(jnp.int32)
-            return viterbi_backtrace_pallas_banded_batch(
-                bs2, t1m1, last, l, block_frames=BLOCK, interpret=False
-            )
-
-        states722 = serve722(padded2, lens2)
-        _ = int(jnp.sum(states722 % 7))
-        # oracle-check against the obs kernel's own log observations
-        # (materialized once, outside the timed path)
-        log_obs722_chk = np.asarray(
-            shaun_log_obs_pallas(
-                padded2[:8, :T2_CHK], n_bins2, spw2, 0.0, block_frames=32,
-                interpret=False,
-            )[0, :, :S2]
+        t1, t1m1 = viterbi_forward_pallas_banded_batch(
+            bs2, log_pi2_d, log_obs, l, block_frames=BLOCK,
+            interpret=False,
         )
-        detail["serving_722_path_matches_oracle"] = bool(
-            _oracle_check(
-                log_obs722_chk, log_B2, log_pi2,
-                np.asarray(states722[0, :T2_CHK]), S2,
-            )
+        last = jnp.argmax(t1, axis=1).astype(jnp.int32)
+        return viterbi_backtrace_pallas_banded_batch(
+            bs2, t1m1, last, l, block_frames=BLOCK, interpret=False
         )
 
-        def timed_722():
-            t0 = time.perf_counter()
-            sums = [jnp.sum(serve722(padded2, lens2) % 7) for _ in range(8)]
-            _ = int(sum(sums))
-            return int(lens2_np.sum()) / ((time.perf_counter() - t0) / 8)
+    states722 = serve722(padded2, lens2)
+    _ = int(jnp.sum(states722 % 7))
+    # oracle-check against the obs kernel's own log observations
+    # (materialized once, outside the timed path)
+    log_obs722_chk = np.asarray(
+        shaun_log_obs_pallas(
+            padded2[:8, :T2_CHK], n_bins2, spw2, 0.0, block_frames=32,
+            interpret=False,
+        )[0, :, :S2]
+    )
+    detail["serving_722_path_matches_oracle"] = bool(
+        _oracle_check(
+            log_obs722_chk, log_B2, log_pi2,
+            np.asarray(states722[0, :T2_CHK]), S2,
+        )
+    )
 
-        detail["serving_fused_obs_decode_fps_722"] = round(timed_722(), 1)
+    def timed_722():
+        t0 = time.perf_counter()
+        sums = [jnp.sum(serve722(padded2, lens2) % 7) for _ in range(8)]
+        _ = int(sum(sums))
+        return int(lens2_np.sum()) / ((time.perf_counter() - t0) / 8)
+
+    detail["serving_fused_obs_decode_fps_722"] = round(timed_722(), 1)
 
     result = {
         "metric": "viterbi_decode_frames_per_sec_per_chip_361bins",
