@@ -181,16 +181,17 @@ def main():
         detail["dense_batch16_fps"] = round(fps_dense, 1)
         detail["single_track_fps"] = round(fps_single, 1)
 
-    # end-to-end serving (default detail): raw logits -> fused Pallas shaun
-    # observation kernel -> banded decode, all on-chip (the --fused-obs CLI
-    # path). Free the headline observations first (6.4 GB at N=128).
+    # end-to-end serving (default detail): raw logits -> direct-log Pallas
+    # shaun observation kernel -> banded decode, all on-chip (the
+    # --fused-obs CLI path). The in-forward-obs variant is bit-equal but
+    # measured slower e2e (DESIGN §3b). Free the headline observations
+    # first (6.4 GB at N=128).
     del log_obs_b
 
     from viterbi_spl_tpu.hmm.obs_pallas import (
         pad_logits_reflect,
         shaun_log_obs_pallas,
     )
-
 
     T_SRV = 1 << 13  # logits + log-obs + t1m1 all resident
     spw = 5

@@ -8,6 +8,10 @@ strategy in SURVEY.md §4. Must run before jax initializes.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent XLA-CPU compile cache: reruns of the big suite skip most
+# compilations (also narrows the window for the rare XLA-CPU compiler
+# segfault seen in single-process full-suite runs on small boxes)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vspl_jax_cache_cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

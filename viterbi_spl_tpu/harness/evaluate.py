@@ -155,8 +155,13 @@ class DecoderSetup:
     def _decode_batch_fused(
         self, logits_list: Sequence[np.ndarray]
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        """Fused serving path: logits -> Pallas observation kernel ->
-        batched decode, all on device (one HBM round trip for the obs)."""
+        """Fused serving path: raw logits -> direct-log Pallas observation
+        kernel -> batched decode, all on device. (The variant computing the
+        obs model INSIDE the forward kernel exists —
+        viterbi_decode_batch_pallas_fused_obs — and is bit-equal, but
+        measured ~3-5% SLOWER e2e at the 361/722 serving shapes: the HBM
+        round trip it saves was already hidden behind compute; see
+        docs/DESIGN.md §3b.)"""
         from ..hmm.obs_pallas import (
             shaun_log_obs_pallas,
             softmax_log_obs_pallas,

@@ -246,12 +246,46 @@ def extract_band_classes(
 
 def _make_banded_forward_kernel(bs_key: tuple, N: int):
     (d_max, n_bins, S, P, log_c_uv, log_c_vu, log_c_uu, classes, singles,
-     ragged) = bs_key
+     ragged, obs_mode) = bs_key
 
-    def kernel(
-        obs_ref, band_ref, bv_ref, logpi_ref, len_ref,
-        t1m1_ref, t1_last_ref, carry, carry_uv,
-    ):
+    def kernel(*refs):
+        # obs_mode=None: refs = (obs, band, bv, logpi, len | outs/scratch).
+        # obs_mode=(method, spw): a scalar-prefetch params ref leads and a
+        # log-prior row follows; the obs input carries REFLECT-PADDED RAW
+        # LOGITS and each GROUP's log observations are computed in-kernel
+        # (hmm/obs_pallas.py block helpers) — one [N, T, P] HBM round trip
+        # less than the two-kernel serving chain
+        if obs_mode is None:
+            (obs_ref, band_ref, bv_ref, logpi_ref, len_ref,
+             t1m1_ref, t1_last_ref, carry, carry_uv) = refs
+            params_ref = logprior_ref = None
+        else:
+            (params_ref, obs_ref, band_ref, bv_ref, logpi_ref, len_ref,
+             logprior_ref, t1m1_ref, t1_last_ref, carry, carry_uv) = refs
+
+        def obs_block(j0, G):
+            """log observations for frames [j0, j0+G) of this chunk."""
+            blk = obs_ref[:, pl.ds(j0, G), :]
+            if obs_mode is None:
+                return blk
+            from .obs_pallas import (
+                shaun_log_obs_block,
+                softmax_log_obs_block,
+            )
+
+            method, spw = obs_mode
+            if method == "shaun":
+                return shaun_log_obs_block(
+                    blk, n_bins, spw, P,
+                    params_ref[0], params_ref[1], params_ref[2],
+                    lane_axis=2,
+                )
+            return softmax_log_obs_block(
+                blk, n_bins, spw, P,
+                params_ref[0], params_ref[1],
+                logprior_ref[0, :][None, None, :], lane_axis=2,
+            )
+
         chunk = pl.program_id(0)
         _, L, _ = obs_ref.shape
         base_t = chunk * L
@@ -316,7 +350,7 @@ def _make_banded_forward_kernel(bs_key: tuple, N: int):
         # update needs no is_first select at all
         @pl.when(chunk == 0)
         def _():
-            obs0 = obs_ref[:, 0, :]
+            obs0 = obs_block(0, 1)[:, 0, :]
             carry[:, :] = logpi_row + obs0
             lane0 = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
             obs0_uv = jnp.max(
@@ -334,7 +368,7 @@ def _make_banded_forward_kernel(bs_key: tuple, N: int):
         prev_uv = jnp.max(carry_uv[:, :], axis=1, keepdims=True)  # equal lanes
         for g in range(L // GROUP):
             j0 = g * GROUP
-            obs_blk = obs_ref[:, pl.ds(j0, GROUP), :]
+            obs_blk = obs_block(j0, GROUP)
             # static lane slice of the unvoiced observation column —
             # bitwise the same values as a where+reduce extraction
             obs_uv_blk = obs_blk[:, :, n_bins : n_bins + 1]  # [N, GROUP, 1]
@@ -387,7 +421,7 @@ def _build_banded_call(
 ):
     """Jitted pallas call cached per (structure scalars+classes, shapes)."""
     (d_max, n_bins, S, P, log_c_uv, log_c_vu, log_c_uu, classes, singles,
-     ragged) = key
+     ragged, obs_mode) = key
     n_chunks = T_pad // block_frames
     W = 2 * d_max + 1
     n_bv = max(len(classes), 1)  # zero-sized VMEM blocks are not tileable
@@ -398,23 +432,32 @@ def _build_banded_call(
             ops += 3 + 2 * _doubling_stages(d_hi - d_lo + 1)
         else:
             ops += 1 + sum(1 if d == 0 else 2 for d in offsets)
+    if obs_mode is not None:
+        ops += 25  # in-kernel observation model (rolls + exp + selects)
 
+    in_specs = [
+        pl.BlockSpec((N, block_frames, P), lambda i, *_: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_bv, P), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if obs_mode is not None:
+        in_specs.append(
+            pl.BlockSpec((1, P), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=0 if obs_mode is None else 1,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((N, block_frames, P), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bv, P), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((N, block_frames, P), lambda i: (0, i, 0),
+            pl.BlockSpec((N, block_frames, P), lambda i, *_: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, P), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, P), jnp.float32),
@@ -432,20 +475,38 @@ def _build_banded_call(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=ops * N * T_pad * P, bytes_accessed=N * T_pad * P * 8,
-            transcendentals=0,
+            transcendentals=0 if obs_mode is None else N * T_pad * P,
         ),
     )
 
-    @jax.jit
-    def run(lengths, obs_batch, band, bv, log_pi):
-        t1m1, t1_last = call(
-            obs_batch.astype(jnp.float32),
-            band,
-            bv,
-            log_pi.astype(jnp.float32)[None, :],
-            lengths.astype(jnp.int32)[:, None],
-        )
-        return t1_last, t1m1
+    if obs_mode is None:
+
+        @jax.jit
+        def run(lengths, obs_batch, band, bv, log_pi):
+            t1m1, t1_last = call(
+                obs_batch.astype(jnp.float32),
+                band,
+                bv,
+                log_pi.astype(jnp.float32)[None, :],
+                lengths.astype(jnp.int32)[:, None],
+            )
+            return t1_last, t1m1
+
+    else:
+
+        @jax.jit
+        def run(lengths, logits_padded, band, bv, log_pi, obs_params,
+                log_prior_row):
+            t1m1, t1_last = call(
+                obs_params.astype(jnp.float32),
+                logits_padded.astype(jnp.float32),
+                band,
+                bv,
+                log_pi.astype(jnp.float32)[None, :],
+                lengths.astype(jnp.int32)[:, None],
+                log_prior_row.astype(jnp.float32),
+            )
+            return t1_last, t1m1
 
     return run
 
@@ -484,6 +545,7 @@ def viterbi_forward_pallas_banded_batch(
     key = (
         bs.d_max, bs.n_bins, bs.S, bs.P,
         bs.log_c_uv, bs.log_c_vu, bs.log_c_uu, classes, singles, ragged,
+        None,
     )
     bv = bs.bv if (bs.bv is not None and len(classes)) else None
     if bv is None or bv.shape[0] == 0:
@@ -495,6 +557,90 @@ def viterbi_forward_pallas_banded_batch(
         jnp.asarray(bs.band),
         jnp.asarray(bv),
         jnp.asarray(log_pi),
+    )
+
+
+def viterbi_forward_pallas_banded_batch_obs(
+    bs: BandedStructure,
+    log_pi,
+    logits_padded,
+    lengths,
+    obs: dict,
+    *,
+    block_frames: int = 128,
+    interpret: bool | None = None,
+):
+    """Banded batched forward DP with the OBSERVATION MODEL FUSED IN: the
+    input is reflect-padded raw logits (hmm.obs_pallas.pad_logits_reflect
+    layout) and each block's log observations are computed inside the
+    forward kernel (shaun_log_obs_block / softmax_log_obs_block), saving
+    one full [N, T, P] HBM round trip vs the two-kernel serving chain
+    (obs write + forward read ~ 3.2 GB at N=128, T=8192, P=384).
+
+    obs: dict(method='shaun', spw=..., threshold_logit=..., p=0.8,
+    scale=2.0) or dict(method='softmax-scaled'/'softmax-unscaled',
+    spw=..., threshold_logit=..., init_probs=[S]).
+
+    Same T1 contract as viterbi_forward_pallas_banded_batch fed with the
+    standalone obs kernels' output (identical obs math; tested equal)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    N, T_pad, P = logits_padded.shape
+    assert P == bs.P and N % 8 == 0 and T_pad % block_frames == 0
+    classes, singles = bs.classes, ()
+    if classes and P < bs.n_bins + bs.d_max:
+        classes, singles = (), tuple(range(-bs.d_max, bs.d_max + 1))
+    if isinstance(lengths, jax.core.Tracer):
+        ragged = True
+    else:
+        lengths_np = np.asarray(lengths)
+        ragged = bool(np.any(lengths_np != T_pad))
+
+    method = obs["method"]
+    spw = int(obs["spw"])
+    log_prior_row = np.zeros((1, P), np.float32)
+    if method == "shaun":
+        obs_mode = ("shaun", spw)
+        p32 = np.float32(obs.get("p", 0.8))
+        params = np.asarray(
+            [np.float32(obs["threshold_logit"]),
+             np.float32(np.log(p32 / (np.float32(1.0) - p32))),
+             np.float32(obs.get("scale", 2.0)),
+             0.0],
+            np.float32,
+        )
+    elif method in ("softmax-scaled", "softmax-unscaled"):
+        obs_mode = ("softmax", spw)
+        prior_uv = 1.0
+        if method == "softmax-scaled":
+            pri = np.asarray(obs["init_probs"], np.float32)
+            assert pri.shape == (bs.n_bins + 1,)
+            log_prior_row[0, spw : spw + bs.n_bins] = np.log(pri[: bs.n_bins])
+            prior_uv = float(pri[bs.n_bins])
+        params = np.asarray(
+            [np.float32(obs["threshold_logit"]), prior_uv, 0.0, 0.0],
+            np.float32,
+        )
+    else:
+        raise ValueError(f"unknown obs method {method}")
+
+    key = (
+        bs.d_max, bs.n_bins, bs.S, bs.P,
+        bs.log_c_uv, bs.log_c_vu, bs.log_c_uu, classes, singles, ragged,
+        obs_mode,
+    )
+    bv = bs.bv if (bs.bv is not None and len(classes)) else None
+    if bv is None or bv.shape[0] == 0:
+        bv = np.zeros((1, P), np.float32)
+    run = _build_banded_call(key, N, T_pad, block_frames, bool(interpret))
+    return run(
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(logits_padded),
+        jnp.asarray(bs.band),
+        jnp.asarray(bv),
+        jnp.asarray(log_pi),
+        jnp.asarray(params),
+        jnp.asarray(log_prior_row),
     )
 
 

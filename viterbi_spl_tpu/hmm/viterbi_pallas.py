@@ -718,3 +718,113 @@ def viterbi_decode_batch_pallas_logobs(
         t1m1, log_B_d, last_states, lengths,
         block_frames=block_frames, interpret=interpret,
     )
+
+
+def viterbi_decode_batch_pallas_fused_obs(
+    *,
+    transition_matrix,
+    prob_init,
+    logits_padded,
+    lengths,
+    obs: dict,
+    block_frames: int = 64,
+    interpret: bool | None = None,
+    mesh=None,
+):
+    """Serving fast path: decode a padded [N, T_pad, P] batch of
+    REFLECT-PADDED RAW LOGITS (hmm.obs_pallas.pad_logits_reflect layout)
+    with the observation model computed INSIDE the banded forward kernel
+    (viterbi_forward_pallas_banded_batch_obs) — one [N, T, P] HBM round
+    trip less than obs-kernel -> forward. Falls back to the two-kernel
+    chain when the transition has no banded structure.
+
+    obs: see viterbi_forward_pallas_banded_batch_obs. Same states as the
+    two-kernel chain (identical obs math; tested bit-equal)."""
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as PSpec
+
+        D = int(mesh.shape["data"])
+        N_all = logits_padded.shape[0]
+        if N_all % D or (N_all // D) % 8:
+            raise ValueError(
+                f"N={N_all} tracks must split into data={D} shards of "
+                f"sublane-tile multiples (8)"
+            )
+
+        def _local(logits_shard, len_shard):
+            return viterbi_decode_batch_pallas_fused_obs(
+                transition_matrix=transition_matrix,
+                prob_init=prob_init,
+                logits_padded=logits_shard,
+                lengths=len_shard,
+                obs=obs,
+                block_frames=block_frames,
+                interpret=interpret,
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                _local,
+                mesh=mesh,
+                in_specs=(PSpec("data", None, None), PSpec("data")),
+                out_specs=PSpec("data", None),
+                check_vma=False,
+            )
+        )
+        return fn(jnp.asarray(logits_padded), jnp.asarray(lengths, jnp.int32))
+
+    S = np.asarray(transition_matrix).shape[0]
+    n_bins = S - 1
+    N, T_pad, P = logits_padded.shape
+    assert P == _round_up(S, LANE)
+    log_B, log_pi = prepare_log_params(transition_matrix, prob_init, pad_to=P)
+
+    from .viterbi_banded import extract_banded_structure
+
+    bstruct = extract_banded_structure(np.asarray(transition_matrix), P)
+    if bstruct is None:
+        # no banded structure: standalone obs kernel + dense decode
+        from .obs_pallas import shaun_log_obs_pallas, softmax_log_obs_pallas
+
+        if obs["method"] == "shaun":
+            log_obs = shaun_log_obs_pallas(
+                logits_padded, n_bins, int(obs["spw"]),
+                obs["threshold_logit"], obs.get("p", 0.8),
+                obs.get("scale", 2.0), block_frames=32, interpret=interpret,
+            )
+        else:
+            log_obs = softmax_log_obs_pallas(
+                logits_padded, n_bins, int(obs["spw"]),
+                obs["threshold_logit"], obs.get("init_probs"),
+                scaled=(obs["method"] == "softmax-scaled"),
+                block_frames=32, interpret=interpret,
+            )
+        return viterbi_decode_batch_pallas_logobs(
+            transition_matrix=transition_matrix,
+            prob_init=prob_init,
+            log_obs_batch=log_obs,
+            lengths=lengths,
+            block_frames=block_frames,
+            interpret=interpret,
+            allow_banded=False,
+        )
+
+    from .viterbi_banded import (
+        viterbi_backtrace_pallas_banded_batch,
+        viterbi_forward_pallas_banded_batch_obs,
+    )
+
+    t1_last, t1m1 = viterbi_forward_pallas_banded_batch_obs(
+        bstruct, jnp.asarray(log_pi), logits_padded, lengths, obs,
+        block_frames=block_frames, interpret=interpret,
+    )
+    last_states = jnp.argmax(t1_last[:, :S], axis=1).astype(jnp.int32)
+    if bstruct.classes:
+        return viterbi_backtrace_pallas_banded_batch(
+            bstruct, t1m1, last_states, lengths,
+            block_frames=block_frames, interpret=interpret,
+        )
+    return viterbi_backtrace_pallas_batch(
+        t1m1, jnp.asarray(log_B), last_states, lengths,
+        block_frames=block_frames, interpret=interpret,
+    )
