@@ -234,3 +234,14 @@ def test_jdc_real_data_chain(fake_corpus, tmp_path, monkeypatch):
     # on a different grid (medleydb/adc04 256-hop, mir1k 20 ms) or round
     # trips through the 256-hop grid (mirex05), so no corpus is exact
     _drill(jdc, fake_corpus, tmp_path, monkeypatch)
+
+
+def test_dcnet_real_data_chain(fake_corpus, tmp_path, monkeypatch):
+    """The NSGT real-data chain (wav -> nsgt_for_length ->
+    transform_track -> dcnet_feature -> DCNet -> decode) had never
+    executed on on-disk audio either; dcnet estimates on the 256-hop grid
+    like msnet, so medleydb/adc04 cross-checks are exact."""
+    from viterbi_spl_tpu.apps import dcnet
+
+    _drill(dcnet, fake_corpus, tmp_path, monkeypatch,
+           strict=("validation", "test", "adc04"))

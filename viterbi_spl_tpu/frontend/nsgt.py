@@ -234,9 +234,15 @@ class NSGT:
         frames_before = n // hop
         n_snippets = -(-frames_before // payload)
         if n_snippets < 2:
-            raise ValueError(
-                f"track too short for Ls={self.Ls}: needs >= 2 snippets"
-            )
+            # track shorter than one snippet payload: a single zero-padded
+            # Ls block covers it — no seams, no cyclic boundary exchange
+            # (the reference never hits this because it picks Ls per track,
+            # but a serving user may transcribe a clip shorter than 2^17
+            # samples)
+            seg = np.pad(samples, (0, self.Ls - n))
+            mag = np.abs(np.asarray(self._forward(jnp.asarray(seg))))
+            out = mag[:, :frames_before]
+            return np.require(out.T.astype(np.float32), requirements=["C"])
         r = (frames_before - payload) % (n_snippets - 1)
         if r:
             samples = np.pad(samples, (0, (n_snippets - 1 - r) * hop))
