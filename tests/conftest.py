@@ -29,6 +29,20 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jit_executables_per_module():
+    """Free accumulated in-process XLA executables between test modules.
+
+    Single-process full-suite runs on small boxes can segfault inside an
+    XLA-CPU compile after a few hundred accumulated executables (observed
+    rc 139 in different modules depending on ordering). Dropping the jit
+    caches per module bounds the live-executable count; the persistent
+    disk compilation cache (JAX_COMPILATION_CACHE_DIR above) keeps the
+    recompiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(20260817)

@@ -206,3 +206,46 @@ def test_track_sharded_pallas_batch_decode_bit_identical(rng):
         )
         for s, m in zip(single, sharded):
             np.testing.assert_array_equal(s, m)
+
+
+# ---- tensor parallelism (dist/tp.py) ----------------------------------
+
+
+def test_tp_spec_rule():
+    """The tp shape rule shards exactly the trailing channel dims that
+    divide the model-axis size, and replicates odd heads and scalars."""
+    from jax.sharding import PartitionSpec as P
+
+    from viterbi_spl_tpu.dist import tp_spec
+
+    assert tp_spec((3, 3, 16, 64), 4) == P(None, None, None, "model")
+    assert tp_spec((128, 64), 4) == P(None, "model")
+    assert tp_spec((64,), 4) == P("model")
+    # 361-class head does not divide 4 -> replicated
+    assert tp_spec((128, 361), 4) == P()
+    # too small to be worth splitting
+    assert tp_spec((4,), 4) == P()
+    assert tp_spec((), 4) == P()
+
+
+def test_tp_shard_tree_places_leaves():
+    """tp_shard_tree puts divisible channel dims on the model axis and
+    replicates the rest — on a real 4x2 device mesh."""
+    from viterbi_spl_tpu.dist import make_tp_mesh, tp_shard_tree
+
+    mesh = make_tp_mesh(4, 2)
+    tree = {
+        "conv": {"kernel": np.zeros((3, 3, 8, 16), np.float32),
+                 "bias": np.zeros((16,), np.float32)},
+        "head": {"kernel": np.zeros((16, 361), np.float32)},
+        "count": np.zeros((), np.int32),
+    }
+    sharded = tp_shard_tree(tree, mesh)
+    assert "model" in str(sharded["conv"]["kernel"].sharding.spec)
+    assert "model" in str(sharded["conv"]["bias"].sharding.spec)
+    assert "model" not in str(sharded["head"]["kernel"].sharding.spec)
+    assert "model" not in str(sharded["count"].sharding.spec)
+    # values are unchanged by the placement
+    np.testing.assert_array_equal(
+        np.asarray(sharded["conv"]["kernel"]), tree["conv"]["kernel"]
+    )

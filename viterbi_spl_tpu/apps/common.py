@@ -452,36 +452,47 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None,
                     help="mixed precision: run the model's convs/denses/"
                          "LSTMs in bfloat16 (MXU-native); params, BatchNorm "
                          "statistics, losses, and logits stay float32")
-    ap.add_argument("--mesh", default=None, metavar="data=N",
-                    help="data-parallel training over an N-device mesh: "
-                         "the batch shards over the 'data' axis, state is "
-                         "replicated, and GSPMD inserts the gradient "
-                         "all-reduce. Requires batch-size divisible by N "
-                         "(raised to N if smaller). Same loss curve as "
-                         "single-device at the same global batch (tested).")
+    ap.add_argument("--mesh", default=None, metavar="data=N[,model=M]",
+                    help="distributed training over an N*M-device mesh: "
+                         "the batch shards over the 'data' axis and, with "
+                         "model=M, parameter/optimizer channel dims shard "
+                         "over the 'model' axis (tensor parallelism, "
+                         "dist/tp.py); GSPMD inserts the collectives. "
+                         "Requires batch-size divisible by N (raised to N "
+                         "if smaller). Same loss curve as single-device at "
+                         "the same global batch (tested).")
     args = ap.parse_args(argv)
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
 
     mesh = None
+    n_model = 1
     if args.mesh:
-        from ..dist import make_mesh
+        from ..dist import make_mesh, make_tp_mesh
 
         try:
             kv = dict(part.split("=", 1) for part in args.mesh.split(","))
             n_data = int(kv.pop("data", 1))
+            n_model = int(kv.pop("model", 1))
         except ValueError:
             raise SystemExit(
                 f"--mesh: expected comma-separated axis=N (e.g. data=8), "
                 f"got {args.mesh!r}"
             )
         if kv:
-            raise SystemExit(f"--mesh: only data=N is supported, got {kv}")
-        if len(jax.devices()) < n_data:
             raise SystemExit(
-                f"--mesh data={n_data}: only {len(jax.devices())} devices"
+                f"--mesh: only data=N and model=M are supported, got {kv}"
             )
-        mesh = make_mesh(data=n_data, seq=1)
+        if len(jax.devices()) < n_data * n_model:
+            raise SystemExit(
+                f"--mesh data={n_data},model={n_model}: only "
+                f"{len(jax.devices())} devices"
+            )
+        mesh = (
+            make_tp_mesh(n_data, n_model)
+            if n_model > 1
+            else make_mesh(data=n_data, seq=1)
+        )
         if cfg.batch_size % n_data:
             new_bs = -(-cfg.batch_size // n_data) * n_data
             print(f"--mesh data={n_data}: raising batch size "
@@ -587,11 +598,22 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None,
                 )
             batch_sharding = NamedSharding(mesh, P("data"))
             replicated = NamedSharding(mesh, P())
-            state = TrainState(
-                params=jax.device_put(state.params, replicated),
-                batch_stats=jax.device_put(state.batch_stats, replicated),
-                opt_state=jax.device_put(state.opt_state, replicated),
-            )
+            if n_model > 1:
+                # tensor parallelism: channel dims of params / BN stats /
+                # adam moments shard over the "model" axis (dist/tp.py)
+                from ..dist import tp_shard_tree
+
+                state = TrainState(
+                    params=tp_shard_tree(state.params, mesh),
+                    batch_stats=tp_shard_tree(state.batch_stats, mesh),
+                    opt_state=tp_shard_tree(state.opt_state, mesh),
+                )
+            else:
+                state = TrainState(
+                    params=jax.device_put(state.params, replicated),
+                    batch_stats=jax.device_put(state.batch_stats, replicated),
+                    opt_state=jax.device_put(state.opt_state, replicated),
+                )
             inner_batches = batches
 
             def batches():
