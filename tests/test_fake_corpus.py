@@ -183,9 +183,27 @@ def fake_corpus(tmp_path_factory):
                 if f > 0:
                     fh.write(f"{k} {k} m {f:.3f} 0\n")
 
+    # ---- tonet yu labels: $fatnet_spec/f0ref on the strict 10 ms grid ----
+    # (tonet/main_shaun.py:386-406 gen_label_yu_fn); row count is pinned to
+    # the actual tonet-CFP frame count so reconcile_lengths accepts them
+    from viterbi_spl_tpu.frontend import TONET_CFP
+    from viterbi_spl_tpu.io.wav import load_wav
+
+    f0ref = root / "fatnet" / "f0ref"
+    f0ref.mkdir(parents=True)
+    tonet_cfp = CFP(TONET_CFP)
+    samples8, _ = load_wav(str(mdb / tids[0] / f"{tids[0]}_MIX.wav"), sr=8000)
+    n_f0 = tonet_cfp.features(samples8).shape[0] + 1
+    for i, tid in enumerate(tids):
+        freqs = _melody(n_f0, 0.01, seed=500 + i)
+        with open(f0ref / f"{tid}_MIX.txt", "w") as fh:
+            for k in range(n_f0):
+                fh.write(f"{k * 0.01:.2f} {float(freqs[k])!r}\n")
+
     return dict(
         medleydb=str(mdb), melody2_dir=str(mel2), section_dir=str(sect),
         adc04=str(adc), mirex05=str(mrx), mir1k=str(m1k), rwc=str(rwc),
+        fatnet_spec=str(root / "fatnet"),
     )
 
 
@@ -245,3 +263,52 @@ def test_dcnet_real_data_chain(fake_corpus, tmp_path, monkeypatch):
 
     _drill(dcnet, fake_corpus, tmp_path, monkeypatch,
            strict=("validation", "test", "adc04"))
+
+
+def test_ftanet_real_data_chain(fake_corpus, tmp_path, monkeypatch):
+    """ftanet estimates on the 10 ms grid (labels resampled via
+    resample_notes_to_10ms), so no corpus cross-check is exact — same
+    situation as jdc."""
+    from viterbi_spl_tpu.apps import ftanet
+
+    _drill(ftanet, fake_corpus, tmp_path, monkeypatch)
+
+
+def test_tonet_real_data_chain(fake_corpus, tmp_path, monkeypatch):
+    """tonet: [T, 3, 360] tonet-CFP layout + dual-backbone model + the
+    warm-up/decay LR schedule, 10 ms label grid (no exact cross-check)."""
+    from viterbi_spl_tpu.apps import tonet
+
+    _drill(tonet, fake_corpus, tmp_path, monkeypatch)
+
+
+def test_tonet_yu_label_datasets(fake_corpus, monkeypatch):
+    """The yu label path: wav -> tonet CFP + precomputed $fatnet_spec/f0ref
+    references (tonet/main_shaun.py:386-406), reconciled against the real
+    spectrogram lengths."""
+    from viterbi_spl_tpu.apps.tonet import build_real_datasets
+
+    for k, v in fake_corpus.items():
+        monkeypatch.setenv(k, v)
+    ds = build_real_datasets(debug=True, labels="yu")
+    for split in ("training", "validation", "test"):
+        assert len(ds[split]) == 2
+        for track in ds[split]:
+            assert track.spectrogram.shape[1:] == (3, 360)
+            assert len(track.notes) == track.num_frames
+            assert np.isfinite(track.notes).all()
+            assert (track.notes >= 0).all()
+
+
+def test_imm_real_data_chain(fake_corpus, monkeypatch):
+    """The imm real-data path: MedleyDB test wavs -> sinebell STFT -> NMF
+    fit -> log-energy logits -> thresholding + viterbi evaluation
+    (imm/thresholding.py); debug keeps the reference's 256-sample hop so
+    the logits land on the MELODY2 label grid."""
+    from viterbi_spl_tpu.apps import imm as imm_app
+
+    for k, v in fake_corpus.items():
+        monkeypatch.setenv(k, v)
+    out = imm_app.main(["eval", "--debug"])
+    assert np.isfinite(out["viterbi_mean_oa"])
+    assert np.isfinite(out["raw_mean_oa"])

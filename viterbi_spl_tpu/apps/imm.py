@@ -98,11 +98,22 @@ def main(argv=None):
                          "voicing, imm/tf_imm.py:680-776)")
     args = ap.parse_args(argv)
 
-    cfg = (
-        IMMConfig(w=512, h=64, niters=15, R=6, P=8, K=4, bins_per_note=4)
-        if args.debug
-        else IMMConfig()
-    )
+    if args.synthetic:
+        cfg = (
+            IMMConfig(w=512, h=64, niters=15, R=6, P=8, K=4, bins_per_note=4)
+            if args.debug
+            else IMMConfig()
+        )
+    else:
+        # real data pairs the NMF logits with MedleyDB MELODY2 labels on the
+        # 256-sample hop, so the debug config must keep w/h/fs at the
+        # reference values (imm/main_imm.py hopsize 256) and only shrink
+        # the NMF (iterations, bases, pitch grid)
+        cfg = (
+            IMMConfig(niters=15, R=6, P=8, K=4, bins_per_note=4)
+            if args.debug
+            else IMMConfig()
+        )
     imm = IMM(cfg)
 
     if args.synthetic:
@@ -116,7 +127,10 @@ def main(argv=None):
         from ..io.wav import load_wav
 
         tracks = []
-        for tid in medleydb_splits()["test"]:
+        test_tids = medleydb_splits()["test"]
+        if args.debug:
+            test_tids = test_tids[:2]
+        for tid in test_tids:
             wav = os.path.join(os.environ["medleydb"], tid, tid + "_MIX.wav")
             samples, _ = load_wav(wav, sr=imm.config.fs)
             logits = imm_pitch_logits(imm.logits(samples))
