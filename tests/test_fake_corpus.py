@@ -309,6 +309,12 @@ def test_imm_real_data_chain(fake_corpus, monkeypatch):
 
     for k, v in fake_corpus.items():
         monkeypatch.setenv(k, v)
-    out = imm_app.main(["eval", "--debug"])
+    out = imm_app.main(["eval", "--debug", "--external-eval"])
     assert np.isfinite(out["viterbi_mean_oa"])
     assert np.isfinite(out["raw_mean_oa"])
+    # the reference's imm harness also covers adc04/mirex05/mir1k
+    # (imm/main_imm.py) — but not rwc
+    for corpus in ("adc04", "mirex05", "mir1k"):
+        assert np.isfinite(out[corpus]["viterbi_mean_oa"]), corpus
+        assert np.isfinite(out[corpus]["raw_mean_oa"]), corpus
+    assert "rwc" not in out

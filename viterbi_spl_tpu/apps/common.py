@@ -758,13 +758,19 @@ def build_external_eval_datasets(
     sr: int,
     labels_on_10ms: bool = False,
     debug: bool = False,
+    corpora: tuple[str, ...] | None = None,
 ) -> dict[str, TrackDataset]:
     """Evaluation datasets beyond MedleyDB (the reference evaluates every
     family on adc04/mirex05/mir1k/rwc as well; dcnet/softmax_viterbi.py
     §TFDatasetForAdc04.. ForRWC). `spec_fn` maps raw samples (at `sr`) to
     features; labels are resampled to 10 ms when the family uses that hop.
-    Only corpora whose env-var roots are set are returned."""
+    Only corpora whose env-var roots are set are returned; `corpora`
+    restricts the set (the imm harness evaluates adc04/mirex05/mir1k but
+    not rwc, imm/main_imm.py)."""
     import os
+
+    def wanted(name):
+        return corpora is None or name in corpora
 
     from ..data import adc04_track_ids, mir1k_track_ids, mirex05_track_ids
     from ..data.labels import (
@@ -784,7 +790,7 @@ def build_external_eval_datasets(
 
     out: dict[str, TrackDataset] = {}
 
-    if os.environ.get("adc04"):
+    if wanted("adc04") and os.environ.get("adc04"):
         tids = adc04_track_ids()[: 2 if debug else None]
         root = os.environ["adc04"]
         out["adc04"] = TrackDataset(
@@ -794,7 +800,7 @@ def build_external_eval_datasets(
             max_length_diff=2,
         )
 
-    if os.environ.get("mirex05"):
+    if wanted("mirex05") and os.environ.get("mirex05"):
         tids = mirex05_track_ids()[: 2 if debug else None]
         root = os.environ["mirex05"]
         out["mirex05"] = TrackDataset(
@@ -807,7 +813,7 @@ def build_external_eval_datasets(
             pad_short_notes=True,
         )
 
-    if os.environ.get("mir1k"):
+    if wanted("mir1k") and os.environ.get("mir1k"):
         root = os.environ["mir1k"]
         tids = mir1k_track_ids()[: 2 if debug else None]
 
@@ -832,7 +838,7 @@ def build_external_eval_datasets(
             pad_short_notes=True,
         )
 
-    if os.environ.get("rwc"):
+    if wanted("rwc") and os.environ.get("rwc"):
         rec_files = rwc_rec_files()
         n = 2 if debug else len(rec_files)
 

@@ -96,6 +96,11 @@ def main(argv=None):
                     help="also run the reference's 'original' method "
                          "(HF0 + analytic transition + cumulative-energy "
                          "voicing, imm/tf_imm.py:680-776)")
+    ap.add_argument("--external-eval", action="store_true",
+                    help="also evaluate on adc04/mirex05/mir1k (whichever "
+                         "env roots are set) — the corpora the reference's "
+                         "imm harness covers (imm/main_imm.py); per-track "
+                         "NMF fits like the mdb path")
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -149,6 +154,37 @@ def main(argv=None):
         f"thresholding OA {out['raw_mean_oa']:.4f}, "
         f"viterbi OA {out['viterbi_mean_oa']:.4f}"
     )
+    if args.external_eval:
+        # the reference's imm harness also scores adc04/mirex05/mir1k
+        # (imm/main_imm.py; NOT rwc) with per-recording NMF fits; the imm
+        # "feature" for the shared external builder IS the log-energy
+        # logits, which land on the corpora's 256-hop label grid
+        from .common import build_external_eval_datasets
+
+        ext = build_external_eval_datasets(
+            lambda samples: imm_pitch_logits(imm.logits(samples)),
+            sr=imm.config.fs,
+            debug=args.debug,
+            corpora=("adc04", "mirex05", "mir1k"),
+        )
+        for name, ds in ext.items():
+            ext_tracks = [
+                dict(
+                    logits=np.asarray(t.spectrogram),
+                    notes=np.asarray(t.notes),
+                    original=dict(
+                        times=np.asarray(t.original_times),
+                        freqs=np.asarray(t.original_freqs),
+                    ),
+                )
+                for t in ds.tracks
+            ]
+            res = evaluate_posteriorgrams(setup, ext_tracks)
+            out[name] = res
+            print(
+                f"{name}: thresholding OA {res['raw_mean_oa']:.4f}, "
+                f"viterbi OA {res['viterbi_mean_oa']:.4f}"
+            )
     if args.original:
         if not all("fit" in t for t in tracks):
             raise SystemExit("--original needs per-track fits "
