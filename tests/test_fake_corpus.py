@@ -309,9 +309,13 @@ def test_imm_real_data_chain(fake_corpus, monkeypatch):
 
     for k, v in fake_corpus.items():
         monkeypatch.setenv(k, v)
-    out = imm_app.main(["eval", "--debug", "--external-eval"])
+    out = imm_app.main(["eval", "--debug", "--external-eval", "--original"])
     assert np.isfinite(out["viterbi_mean_oa"])
     assert np.isfinite(out["raw_mean_oa"])
+    # the reference's third ('original') method also runs on real corpora
+    # (imm/original_adc04_performance.py): HF0 salience + analytic
+    # transition + cumulative-energy voicing
+    assert np.isfinite(out["original"]["mean_oa"])
     # the reference's imm harness also covers adc04/mirex05/mir1k
     # (imm/main_imm.py) — but not rwc
     for corpus in ("adc04", "mirex05", "mir1k"):
