@@ -303,6 +303,28 @@ def main():
 
     detail["serving_fused_obs_decode_fps_722"] = round(timed_722(), 1)
 
+    # fixed-lag streaming pool (TPU-native serving path): ms per push of
+    # `hop` frames across M live channels at 361 bins. On this host the
+    # number is dominated by the per-push emitted-states readback (~25 ms
+    # axon tunnel latency) that a local TPU host would not pay; tracked
+    # per round so regressions in the carry-injected step surface.
+    from viterbi_spl_tpu.hmm.streaming import StreamingViterbiBatch
+
+    M, hop, lag = 128, 128, 128
+    pool = StreamingViterbiBatch(A, pi, n_streams=M, lag=lag)
+    obs_push = rng.random((M, hop, S)).astype(np.float32)
+    obs_push /= obs_push.sum(-1, keepdims=True)
+    obs_push_d = jnp.asarray(obs_push).block_until_ready()
+    for _ in range(3):  # compile both push shapes (pre-lag + steady)
+        pool.push(obs_push_d)
+    n_pushes = 10
+    t0 = time.perf_counter()
+    for _ in range(n_pushes):
+        pool.push(obs_push_d)
+    dt_push = (time.perf_counter() - t0) / n_pushes
+    detail["streaming_ms_per_push_128ch"] = round(dt_push * 1e3, 2)
+    detail["streaming_realtime_aggregate_x"] = round(M * hop * 0.01 / dt_push)
+
     result = {
         "metric": "viterbi_decode_frames_per_sec_per_chip_361bins",
         "value": round(fps_banded, 1),
