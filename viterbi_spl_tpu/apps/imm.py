@@ -22,6 +22,14 @@ from ..models.adapters import imm_pitch_logits
 from ..models.imm import IMM, IMMConfig
 
 
+def debug_imm_config() -> IMMConfig:
+    """The small-NMF debug config for synthetic/smoke paths (tiny bases,
+    coarse pitch grid, cheap w=512/h=64 STFT). Shared with the transcribe
+    CLI so the debug NMF cannot silently diverge between entry points;
+    real-data debug keeps the reference's w/h/fs (see main)."""
+    return IMMConfig(w=512, h=64, niters=15, R=6, P=8, K=4, bins_per_note=4)
+
+
 def synthetic_tracks(
     imm: IMM, n_tracks: int, seconds: float, seed: int, keep_fits: bool = False
 ):
@@ -104,11 +112,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.synthetic:
-        cfg = (
-            IMMConfig(w=512, h=64, niters=15, R=6, P=8, K=4, bins_per_note=4)
-            if args.debug
-            else IMMConfig()
-        )
+        cfg = debug_imm_config() if args.debug else IMMConfig()
     else:
         # real data pairs the NMF logits with MedleyDB MELODY2 labels on the
         # 256-sample hop, so the debug config must keep w/h/fs at the
@@ -220,8 +224,9 @@ def separate_stereo_samples(
     XR = np.asarray(imm.stft.stft(right))
     SXL = np.abs(XL) ** 2
     SXR = np.abs(XR) ** 2
-    mix = 0.5 * (left + right)
-    SX = np.abs(np.asarray(imm.stft.stft(mix))) ** 2
+    # the STFT is linear, so the mono-mix spectrum is the channel mean of
+    # the spectra already computed — no third stft pass
+    SX = np.abs(0.5 * (XL + XR)) ** 2
 
     fit = imm.fit(SX, seed=seed)
     logits = imm_pitch_logits(imm.logits_from_fit(fit, SX))

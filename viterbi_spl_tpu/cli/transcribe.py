@@ -154,16 +154,12 @@ def imm_logits_from_wavs(paths, debug: bool = False):
     Checkpoint-free: the NMF is fitted per recording at inference, as in
     the reference (imm/main_imm.py:1139-1180)."""
     from ..apps.imm import build_setup as imm_build_setup
+    from ..apps.imm import debug_imm_config
     from ..io.wav import load_wav
     from ..models.adapters import imm_pitch_logits
     from ..models.imm import IMM, IMMConfig
 
-    cfg = (
-        IMMConfig(w=512, h=64, niters=15, R=6, P=8, K=4, bins_per_note=4)
-        if debug
-        else IMMConfig()
-    )
-    imm = IMM(cfg)
+    imm = IMM(debug_imm_config() if debug else IMMConfig())
     logits = []
     for p in paths:
         samples, _ = load_wav(p, sr=imm.config.fs)
@@ -176,16 +172,11 @@ def run_imm_separation(paths, names, args):
     <out>/<name>_melody.wav + <name>_accompaniment.wav (stereo, at the imm
     sample rate) and the decoded melody line (imm/tf_imm.py:354-618)."""
     from ..apps.imm import build_setup as imm_build_setup
-    from ..apps.imm import separate_stereo_samples
+    from ..apps.imm import debug_imm_config, separate_stereo_samples
     from ..io.wav import load_wav, save_wav
     from ..models.imm import IMM, IMMConfig
 
-    cfg = (
-        IMMConfig(w=512, h=64, niters=15, R=6, P=8, K=4, bins_per_note=4)
-        if args.debug
-        else IMMConfig()
-    )
-    imm = IMM(cfg)
+    imm = IMM(debug_imm_config() if args.debug else IMMConfig())
     setup = imm_build_setup(imm, method=args.method)
     if args.threshold is not None:
         setup = dataclasses.replace(setup, voicing_threshold=args.threshold)

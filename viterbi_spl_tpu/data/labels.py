@@ -149,7 +149,12 @@ def tonet_f0ref_label(track_id: str, root: str | None = None) -> dict:
     root = root or os.environ["fatnet_spec"]
     arr = read_times_freqs(os.path.join(root, "f0ref", track_id + "_MIX.txt"))
     n = len(arr)
-    if arr[0, 0] != 0.0 or int(round(arr[-1, 0] / 0.01)) != n - 1:
+    if n == 0:
+        raise ValueError(f"empty f0ref file for {track_id}")
+    # validate the FULL time column (endpoint checks alone would accept a
+    # file with a dropped+duplicated interior row, silently shifting every
+    # later frequency off its frame) — same pattern as medleydb_label
+    if not np.allclose(arr[:, 0], np.arange(n) * 0.01, atol=1e-4):
         raise ValueError("f0ref timebase is not the 10 ms grid")
     freqs = arr[:, 1]
     validity_check_of_ref_freqs(freqs)

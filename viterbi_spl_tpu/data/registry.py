@@ -64,6 +64,24 @@ def reconcile_lengths(
     (dcnet/softmax_viterbi.py:1262-1268 pads either side)."""
     diff = len(notes) - len(spec)
     if diff < 0 and pad_short_notes:
+        # the reference pads the deficit unbounded but PRINTS the diffs
+        # (dcnet/softmax_viterbi.py:1262-1268 collects `diffs`); mirror
+        # that visibility, and refuse plainly-corrupt annotations (a .pv
+        # covering half the track) instead of silently scoring the missing
+        # frames as unvoiced. Legitimate undershoots are the analysis tail
+        # the label grid cannot cover (~window/hop frames, <= ~10).
+        if -diff > max(32, len(spec) // 10):
+            raise ValueError(
+                f"labels undershoot the spectrogram by {-diff} of "
+                f"{len(spec)} frames — annotation/audio mismatch"
+            )
+        if -diff > max_diff:
+            import logging
+
+            logging.warning(
+                "zero-padding %d missing label frames (spec %d)",
+                -diff, len(spec),
+            )
         notes = np.pad(notes, (0, -diff))
         return spec, notes
     if not (0 <= diff <= max_diff):

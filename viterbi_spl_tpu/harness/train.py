@@ -99,11 +99,14 @@ class Trainer:
         self._ckpt = ocp.StandardCheckpointer()
         import inspect
 
+        # a metrics-reporting step declares a parameter literally named
+        # `threshold` (make_train_step does); counting parameters would
+        # misread variadic steps or steps with unrelated optional args
         try:
-            n_args = len(inspect.signature(train_step).parameters)
+            params = inspect.signature(train_step).parameters
         except (TypeError, ValueError):
-            n_args = 5
-        self._step_takes_threshold = n_args >= 6
+            params = {}
+        self._step_takes_threshold = "threshold" in params
 
     # -- checkpointing ---------------------------------------------------
     def save(self, state: TrainState) -> None:
