@@ -144,6 +144,24 @@ def test_reconcile_lengths():
         reconcile_lengths(np.zeros((10, 4)), np.zeros(13))
 
 
+def test_reconcile_pad_short_notes_bounds():
+    """pad_short_notes zero-pads legitimate analysis-tail undershoots (the
+    mir1k .pv rule, dcnet/softmax_viterbi.py:1262-1268) but refuses
+    plainly-corrupt annotations covering a fraction of the track."""
+    spec = np.zeros((400, 4), np.float32)
+    # a ~7-frame tail undershoot pads cleanly
+    s2, n2 = reconcile_lengths(spec, np.ones(393, np.float32),
+                               pad_short_notes=True)
+    assert len(n2) == 400 and n2[-1] == 0.0 and n2[392] == 1.0
+    # half-length labels are an annotation/audio mismatch
+    with pytest.raises(ValueError):
+        reconcile_lengths(spec, np.ones(200, np.float32),
+                          pad_short_notes=True)
+    # without the flag, undershoot still raises
+    with pytest.raises(ValueError):
+        reconcile_lengths(spec, np.ones(393, np.float32))
+
+
 def _toy_dataset():
     def spec_fn(tid):
         return np.full((37 if tid == "a" else 23, 4), ord(tid[0]), np.float32)
@@ -270,4 +288,17 @@ def test_tonet_f0ref_label(tmp_path, monkeypatch):
     assert lb["notes"][0] == 0.0
     assert abs(lb["notes"][1] - 57.0) < 1e-6  # 220 Hz = MIDI 57
     assert abs(lb["notes"][4] - 69.0) < 1e-6
+
+    # interior misalignment must be rejected even when both endpoints are
+    # on-grid (a dropped+duplicated row shifts every later frequency)
+    with open(tmp_path / "f0ref" / "Bad_MIX.txt", "w") as fh:
+        for k, t in enumerate((0.0, 0.01, 0.03, 0.03, 0.04)):
+            fh.write(f"{t!r} {220.0!r}\n")
+    with pytest.raises(ValueError):
+        tonet_f0ref_label("Bad")
+
+    # empty file: clean error, not IndexError
+    (tmp_path / "f0ref" / "Empty_MIX.txt").write_text("")
+    with pytest.raises(ValueError):
+        tonet_f0ref_label("Empty")
     np.testing.assert_allclose(lb["original"]["freqs"], freqs)

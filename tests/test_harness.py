@@ -270,3 +270,30 @@ def test_reporter_tensorboard_mirror(tmp_path):
     # JSONL log still written alongside
     kinds = [e["kind"] for e in rep.read_events()]
     assert kinds == ["scalar", "text"]
+
+
+def test_trainer_step_introspection(tmp_path):
+    """The metrics-reporting train step is detected by a parameter named
+    `threshold`; variadic or extra-default-arg steps stay on the legacy
+    5-arg protocol instead of being misclassified by arg count."""
+    from viterbi_spl_tpu.harness.train import Trainer
+
+    def legacy(params, bs, opt, batch, step):
+        pass
+
+    def with_threshold(params, bs, opt, batch, step, threshold):
+        pass
+
+    def variadic(*args):
+        pass
+
+    def extra_default(params, bs, opt, batch, step, rng_seed=0):
+        pass
+
+    def mk(f):
+        return Trainer(f, lambda s: {"oa": 0.0}, ckpt_path=tmp_path / "ck")
+
+    assert not mk(legacy)._step_takes_threshold
+    assert mk(with_threshold)._step_takes_threshold
+    assert not mk(variadic)._step_takes_threshold
+    assert not mk(extra_default)._step_takes_threshold
