@@ -57,7 +57,9 @@ def medleydb_label(track_id: str, is_vocals: np.ndarray, melody2_dir: str | None
     )
     n = len(arr)
     expected_times = np.arange(n) * HOP_256
-    if not np.allclose(arr[:, 0], expected_times):
+    # rtol=0: the default rtol scales tolerance with absolute time, so a
+    # dropped+duplicated interior row near t~1000 s would pass
+    if not np.allclose(arr[:, 0], expected_times, rtol=0, atol=1e-4):
         raise ValueError("MELODY2 timebase is not the 256-hop grid")
     freqs = arr[:, 1]
     validity_check_of_ref_freqs(freqs)
@@ -153,8 +155,10 @@ def tonet_f0ref_label(track_id: str, root: str | None = None) -> dict:
         raise ValueError(f"empty f0ref file for {track_id}")
     # validate the FULL time column (endpoint checks alone would accept a
     # file with a dropped+duplicated interior row, silently shifting every
-    # later frequency off its frame) — same pattern as medleydb_label
-    if not np.allclose(arr[:, 0], np.arange(n) * 0.01, atol=1e-4):
+    # later frequency off its frame) — same pattern as medleydb_label.
+    # rtol=0: uniform strictness along the whole column (default rtol
+    # approaches one full frame of slack near t~1000 s)
+    if not np.allclose(arr[:, 0], np.arange(n) * 0.01, rtol=0, atol=1e-4):
         raise ValueError("f0ref timebase is not the 10 ms grid")
     freqs = arr[:, 1]
     validity_check_of_ref_freqs(freqs)

@@ -55,13 +55,17 @@ class Track:
 def reconcile_lengths(
     spec: np.ndarray, notes: np.ndarray, max_diff: int = 1,
     pad_short_notes: bool = False,
+    max_undershoot: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Labels may exceed the spectrogram by up to `max_diff` frames; pad the
     spectrogram to match (dcnet/softmax_viterbi.py:522-528,
     jdc/kum_m2m3.py:440-446 uses max_diff=2). With pad_short_notes, labels
     SHORTER than the spectrogram are zero-padded (unvoiced) instead — the
     mir1k rule, where the .pv grid undershoots the audio length
-    (dcnet/softmax_viterbi.py:1262-1268 pads either side)."""
+    (dcnet/softmax_viterbi.py:1262-1268 pads either side). `max_undershoot`
+    overrides the default corrupt-annotation cap for corpus/front-end
+    pairings with a known-larger legitimate deficit (coarser label grid or
+    longer analysis tail)."""
     diff = len(notes) - len(spec)
     if diff < 0 and pad_short_notes:
         # the reference pads the deficit unbounded but PRINTS the diffs
@@ -70,7 +74,9 @@ def reconcile_lengths(
         # covering half the track) instead of silently scoring the missing
         # frames as unvoiced. Legitimate undershoots are the analysis tail
         # the label grid cannot cover (~window/hop frames, <= ~10).
-        if -diff > max(32, len(spec) // 10):
+        cap = max(32, len(spec) // 10) if max_undershoot is None \
+            else max_undershoot
+        if -diff > cap:
             raise ValueError(
                 f"labels undershoot the spectrogram by {-diff} of "
                 f"{len(spec)} frames — annotation/audio mismatch"
@@ -106,6 +112,7 @@ class TrackDataset:
         label_fn: Callable[[str], dict],
         max_length_diff: int = 1,
         pad_short_notes: bool = False,
+        max_undershoot: int | None = None,
     ):
         self.track_ids = tuple(track_ids)
         self.tracks: list[Track] = []
@@ -116,6 +123,7 @@ class TrackDataset:
             spec, notes = reconcile_lengths(
                 np.asarray(spec, np.float32), notes, max_length_diff,
                 pad_short_notes=pad_short_notes,
+                max_undershoot=max_undershoot,
             )
             self.tracks.append(
                 Track(

@@ -78,7 +78,10 @@ class Trainer:
         and returns per-batch training-split metric counts; the epoch
         accumulates them into the full VRR..OA set (the reference's
         MetricsTrainingModeTrainingSplit, dcnet/softmax_viterbi.py:
-        1599-1850) surfaced as info["train_metrics"].
+        1599-1850) surfaced as info["train_metrics"]. The sixth parameter
+        MUST be literally named `threshold` — the metrics protocol is
+        detected by that name (a 6-arg step without it is treated as the
+        5-arg protocol, with a warning).
     validate(state) -> dict with at least {"oa": float,
         "voicing_threshold": float} (from MelodyMetrics.validation_grid).
     """
@@ -107,6 +110,15 @@ class Trainer:
         except (TypeError, ValueError):
             params = {}
         self._step_takes_threshold = "threshold" in params
+        if not self._step_takes_threshold and len(params) >= 6:
+            import logging
+
+            logging.warning(
+                "train_step has %d parameters but none named 'threshold'; "
+                "using the 5-arg protocol (no training-split metrics). "
+                "Name the sixth parameter 'threshold' to enable them.",
+                len(params),
+            )
 
     # -- checkpointing ---------------------------------------------------
     def save(self, state: TrainState) -> None:
