@@ -309,7 +309,10 @@ def test_imm_real_data_chain(fake_corpus, monkeypatch):
 
     for k, v in fake_corpus.items():
         monkeypatch.setenv(k, v)
-    out = imm_app.main(["eval", "--debug", "--external-eval", "--original"])
+    out = imm_app.main(
+        ["eval", "--debug", "--external-eval", "--original",
+         "--calibrate-threshold"]
+    )
     assert np.isfinite(out["viterbi_mean_oa"])
     assert np.isfinite(out["raw_mean_oa"])
     # the reference's third ('original') method also runs on real corpora
@@ -317,8 +320,19 @@ def test_imm_real_data_chain(fake_corpus, monkeypatch):
     # transition + cumulative-energy voicing
     assert np.isfinite(out["original"]["mean_oa"])
     # the reference's imm harness also covers adc04/mirex05/mir1k
-    # (imm/main_imm.py) — but not rwc
+    # (imm/main_imm.py) — but not rwc — with ALL THREE methods
+    # (imm/main_imm.py:43 methods = ('original','thresholding','viterbi'))
     for corpus in ("adc04", "mirex05", "mir1k"):
         assert np.isfinite(out[corpus]["viterbi_mean_oa"]), corpus
         assert np.isfinite(out[corpus]["raw_mean_oa"]), corpus
+        assert np.isfinite(out[corpus]["original"]["mean_oa"]), corpus
+        assert len(out[corpus]["original"]["oas"]) == 2, corpus
     assert "rwc" not in out
+    # the calibration sweep (provenance of the 2.442347 constant,
+    # imm/thresholding.py:80) returns a threshold from the logit grid
+    cal = out["calibration"]
+    assert len(cal["thresholds"]) == 99
+    assert np.isfinite(cal["best_threshold"])
+    assert cal["thresholds"][0] <= cal["best_threshold"] <= cal["thresholds"][-1]
+    # the grid is logit(p), p in .01...99 (imm/thresholding.py:165-168)
+    assert np.isclose(cal["thresholds"][91], 2.442347, atol=1e-4)

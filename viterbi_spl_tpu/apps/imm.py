@@ -109,6 +109,12 @@ def main(argv=None):
                          "env roots are set) — the corpora the reference's "
                          "imm harness covers (imm/main_imm.py); per-track "
                          "NMF fits like the mdb path")
+    ap.add_argument("--calibrate-threshold", action="store_true",
+                    help="sweep the log-energy voicing threshold over the "
+                         "validation split and report the best — the "
+                         "in-framework producer of the reference's "
+                         "2.442347 constant (imm/thresholding.py:80, "
+                         "calibration class :156-347)")
     args = ap.parse_args(argv)
 
     if args.synthetic:
@@ -169,16 +175,29 @@ def main(argv=None):
         # the reference's imm harness also scores adc04/mirex05/mir1k
         # (imm/main_imm.py; NOT rwc) with per-recording NMF fits; the imm
         # "feature" for the shared external builder IS the log-energy
-        # logits, which land on the corpora's 256-hop label grid
+        # logits, which land on the corpora's 256-hop label grid. One
+        # builder call per corpus so the per-track NMF fits can be kept in
+        # call order when the 'original' method needs them
+        # (imm/original_adc04_performance.py decodes raw HF0 per track).
         from .common import build_external_eval_datasets
 
-        ext = build_external_eval_datasets(
-            lambda samples: imm_pitch_logits(imm.logits(samples)),
-            sr=imm.config.fs,
-            debug=args.debug,
-            corpora=("adc04", "mirex05", "mir1k"),
-        )
-        for name, ds in ext.items():
+        for corpus in ("adc04", "mirex05", "mir1k"):
+            aux: list[dict] = []
+
+            def feature(samples, _aux=aux):
+                SX = np.abs(np.asarray(imm.stft.stft(samples))) ** 2
+                fit = imm.fit(SX, seed=0)
+                if args.original:
+                    _aux.append(dict(SX=SX, fit=fit))
+                return imm_pitch_logits(imm.logits_from_fit(fit, SX))
+
+            ext = build_external_eval_datasets(
+                feature, sr=imm.config.fs, debug=args.debug,
+                corpora=(corpus,),
+            )
+            if corpus not in ext:
+                continue
+            ds = ext[corpus]
             ext_tracks = [
                 dict(
                     logits=np.asarray(t.spectrogram),
@@ -187,22 +206,77 @@ def main(argv=None):
                         times=np.asarray(t.original_times),
                         freqs=np.asarray(t.original_freqs),
                     ),
+                    **(aux[i] if args.original else {}),
                 )
-                for t in ds.tracks
+                for i, t in enumerate(ds.tracks)
             ]
             res = evaluate_posteriorgrams(setup, ext_tracks)
-            out[name] = res
+            out[corpus] = res
             print(
-                f"{name}: thresholding OA {res['raw_mean_oa']:.4f}, "
+                f"{corpus}: thresholding OA {res['raw_mean_oa']:.4f}, "
                 f"viterbi OA {res['viterbi_mean_oa']:.4f}"
             )
+            if args.original:
+                res["original"] = evaluate_imm_original(imm, ext_tracks)
+                print(f"{corpus}: original OA "
+                      f"{res['original']['mean_oa']:.4f}")
     if args.original:
         if not all("fit" in t for t in tracks):
             raise SystemExit("--original needs per-track fits")
         orig = evaluate_imm_original(imm, tracks)
         out["original"] = orig
         print(f"original OA {orig['mean_oa']:.4f}")
+    if args.calibrate_threshold:
+        out["calibration"] = calibrate_energy_threshold(
+            imm, setup, args, tracks
+        )
+        import scipy.special
+
+        best = out["calibration"]["best_threshold"]
+        print(
+            f"calibrated log-energy threshold {best:.6f} "
+            f"(prob {scipy.special.expit(best):.2f}); "
+            f"reference constant 2.442347 = logit(0.92)"
+        )
     return out
+
+
+def calibrate_energy_threshold(imm: IMM, setup, args, fallback_tracks):
+    """Sweep the log-energy voicing threshold on the validation split —
+    the in-framework derivation of the reference's 2.442347 constant
+    (imm/thresholding.py:80; ValidationVoicingAccuracy :156-347 sweeps
+    logit(p) for p in .01...99 against max frame log energies and picks
+    argmax mean VA). Synthetic mode sweeps over the in-hand tracks."""
+    from ..harness.threshold import sweep_voicing_thresholds
+
+    if args.synthetic:
+        val_tracks = fallback_tracks
+    else:
+        import os
+
+        from ..data import medleydb_splits
+        from ..data.labels import medleydb_label
+        from ..data.vocals import is_vocals_from_sections
+        from ..io.wav import load_wav
+
+        val_tids = medleydb_splits()["validation"]
+        if args.debug:
+            val_tids = val_tids[:2]
+        val_tracks = []
+        for tid in val_tids:
+            wav = os.path.join(os.environ["medleydb"], tid, tid + "_MIX.wav")
+            samples, _ = load_wav(wav, sr=imm.config.fs)
+            logits = imm_pitch_logits(imm.logits(samples, seed=0))
+            lb = medleydb_label(tid, is_vocals_from_sections(tid))
+            val_tracks.append(
+                dict(logits=logits, notes=lb["notes"][: logits.shape[0]])
+            )
+    sweep = sweep_voicing_thresholds(setup, val_tracks)
+    return dict(
+        thresholds=sweep["thresholds"],
+        va=sweep["va"],
+        best_threshold=float(sweep["best_threshold"]),
+    )
 
 
 def separate_stereo_samples(

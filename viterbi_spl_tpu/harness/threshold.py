@@ -30,10 +30,22 @@ def sweep_voicing_thresholds(
 
     tracks: dicts with logits [T, n_bins] and notes [T].
     Returns dict(thresholds, va [K], oa [K], best_threshold, best_oa_threshold).
+
+    With setup.threshold_is_logit (imm), the voicing score is the raw max
+    frame logit (a log energy) and the default grid is the probability grid
+    mapped through log(p/(1-p)) — exactly the reference's imm calibration
+    (imm/thresholding.py:156-347; the published 2.442347 is logit(0.92)).
+    best_threshold is then returned in the logit domain, directly usable as
+    DecoderSetup.voicing_threshold.
     """
     n = len(tracks)
     if thresholds is None:
-        mm = MelodyMetrics.validation_grid(n)
+        if setup.threshold_is_logit:
+            t = np.arange(0.01, 1.0, 0.01, dtype=np.float64)
+            t = np.log(t / (1.0 - t)).astype(np.float32)
+            mm = MelodyMetrics(n, t)
+        else:
+            mm = MelodyMetrics.validation_grid(n)
     else:
         mm = MelodyMetrics(n, np.asarray(thresholds, np.float32))
 
@@ -47,6 +59,10 @@ def sweep_voicing_thresholds(
             voicing_probs = jax.nn.sigmoid(
                 jnp.asarray(track["voicing_logits"], jnp.float32)
             )
+        elif setup.threshold_is_logit:
+            # imm: thresholds compare against raw max log energies
+            # (harness/evaluate.py raw path, imm/thresholding.py:293)
+            voicing_probs = jnp.max(jnp.asarray(logits), axis=1)
         else:
             voicing_probs = jnp.take_along_axis(
                 probs, peak_idx[:, None], axis=1
