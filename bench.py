@@ -304,11 +304,15 @@ def main():
     detail["serving_fused_obs_decode_fps_722"] = round(timed_722(), 1)
 
     # fixed-lag streaming pool (TPU-native serving path): ms per push of
-    # `hop` frames across M live channels at 361 bins. On this host the
-    # number is dominated by the per-push emitted-states readback (~25 ms
-    # axon tunnel latency) that a local TPU host would not pay; tracked
-    # per round so regressions in the carry-injected step surface.
-    from viterbi_spl_tpu.hmm.streaming import StreamingViterbiBatch
+    # `hop` frames across M live channels at 361 bins, split three ways:
+    # - sync: one emitted-states readback per push (~25 ms axon tunnel
+    #   RTT on this host — 97% of the sync number, pure transfer latency),
+    # - device: pushes chained on device, ONE readback at the end — the
+    #   device compute + dispatch cost a local TPU host would pay,
+    # - pipelined: StreamingDrain(every=8) amortizes the RTT over 8
+    #   pushes with a device-side concat (what THIS host should serve
+    #   with when burst emission is acceptable).
+    from viterbi_spl_tpu.hmm.streaming import StreamingDrain, StreamingViterbiBatch
 
     M, hop, lag = 128, 128, 128
     pool = StreamingViterbiBatch(A, pi, n_streams=M, lag=lag)
@@ -324,6 +328,35 @@ def main():
     dt_push = (time.perf_counter() - t0) / n_pushes
     detail["streaming_ms_per_push_128ch"] = round(dt_push * 1e3, 2)
     detail["streaming_realtime_aggregate_x"] = round(M * hop * 0.01 / dt_push)
+
+    # device-only: queue the whole push chain, drain once
+    pool_dev = StreamingViterbiBatch(A, pi, n_streams=M, lag=lag)
+    for _ in range(3):
+        pool_dev.push_device(obs_push_d)
+    _ = int(jnp.sum(jnp.concatenate(
+        [pool_dev.push_device(obs_push_d) for _ in range(2)], axis=1
+    ) % 7))  # compile the drain concat shape
+    t0 = time.perf_counter()
+    outs = [pool_dev.push_device(obs_push_d) for _ in range(n_pushes)]
+    _ = int(jnp.sum(jnp.concatenate(outs, axis=1) % 7))
+    dt_dev = (time.perf_counter() - t0) / n_pushes
+    detail["streaming_ms_per_push_device"] = round(dt_dev * 1e3, 2)
+
+    # pipelined: one transfer per 8 pushes
+    drain = StreamingDrain(
+        StreamingViterbiBatch(A, pi, n_streams=M, lag=lag), every=8
+    )
+    for _ in range(8):  # compile push shapes + the every=8 drain concat
+        drain.push(obs_push_d)
+    n_pipe = 16
+    t0 = time.perf_counter()
+    for _ in range(n_pipe):
+        drain.push(obs_push_d)
+    dt_pipe = (time.perf_counter() - t0) / n_pipe
+    detail["streaming_ms_per_push_pipelined"] = round(dt_pipe * 1e3, 2)
+    detail["streaming_realtime_aggregate_pipelined_x"] = round(
+        M * hop * 0.01 / dt_pipe
+    )
 
     result = {
         "metric": "viterbi_decode_frames_per_sec_per_chip_361bins",

@@ -249,3 +249,55 @@ def test_tp_shard_tree_places_leaves():
     np.testing.assert_array_equal(
         np.asarray(sharded["conv"]["kernel"]), tree["conv"]["kernel"]
     )
+
+
+# ---- multi-host scaling cost model (scripts/scaling_cost_model.py) -----
+
+
+def test_cost_model_hlo_byte_parser():
+    """The HLO collective-byte parser must handle combined tuple results
+    (incl. /*index=N*/ comments), skip %-prefixed operand references, and
+    skip -done halves of async pairs."""
+    import importlib.util
+    from pathlib import Path
+
+    path = (
+        Path(__file__).parent.parent / "scripts" / "scaling_cost_model.py"
+    )
+    spec = importlib.util.spec_from_file_location("scaling_cost_model", path)
+    scm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scm)
+
+    hlo = "\n".join([
+        "%ar = (f32[5,5,3,32]{3,2,1,0}, /*index=5*/f32[128]{0}) "
+        "all-reduce(%a, %b), channel_id=2",
+        "%use = f32[4]{0} add(%ar, %all-reduce.47)",
+        "%cp = f32[64,361]{1,0} collective-permute(%x), channel_id=3",
+        "%cps = f32[8]{0} collective-permute-start(%y)",
+        "%cpd = f32[8]{0} collective-permute-done(%cps)",
+    ])
+    out = scm.collective_bytes(hlo)
+    assert out["all-reduce"]["count"] == 1
+    assert out["all-reduce"]["result_bytes"] == (5 * 5 * 3 * 32 + 128) * 4
+    assert out["collective-permute"]["count"] == 2  # plain + -start
+    assert out["collective-permute"]["result_bytes"] == (64 * 361 + 8) * 4
+
+
+def test_cost_model_seq_decode_bytes_match_analytic():
+    """Measured per-device collective-permute bytes of the compiled
+    seq-parallel decode must match the analytic halo+certificate
+    expression (within the odd pred byte)."""
+    import importlib.util
+    from pathlib import Path
+
+    path = (
+        Path(__file__).parent.parent / "scripts" / "scaling_cost_model.py"
+    )
+    spec = importlib.util.spec_from_file_location("scaling_cost_model", path)
+    scm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scm)
+
+    d = scm.measure_seq_decode(S=45, L=64, H=16, n_dev=8)
+    got = d["measured_permute_bytes_per_device"]
+    want = d["analytic_permute_bytes_per_device"]
+    assert abs(got - want) <= 8, (got, want)

@@ -157,3 +157,46 @@ def test_batched_streams_large_lag_equals_offline(rng):
             transition_matrix=A, prob_init=pi, probs_st=obs_list[m]
         )
         np.testing.assert_array_equal(expected, got[m])
+
+
+def test_streaming_drain_amortized_readback_identical(rng):
+    """StreamingDrain (the amortized host drain) must emit exactly the
+    per-push pool's state sequences — it only batches readbacks (one
+    device-side concat + one transfer per `every` pushes), never changes
+    the DP — including when drain boundaries straddle the pre-lag phase
+    and the flush tail, and on both the scan and kernel paths."""
+    from viterbi_spl_tpu.hmm.streaming import (
+        StreamingDrain,
+        StreamingViterbiBatch,
+    )
+
+    S, T, M, lag, hop = 25, 140, 8, 33, 10
+    obs_batch = np.stack(
+        [random_hmm(rng, S, T)[2].T for _ in range(M)]
+    ).astype(np.float32)
+    A, pi, _ = random_hmm(rng, S, 4)
+
+    for kernels in (False, True):
+        ref_pool = StreamingViterbiBatch(
+            A, pi, n_streams=M, lag=lag, use_kernels=kernels
+        )
+        ref = [ref_pool.push(obs_batch[:, i : i + hop])
+               for i in range(0, T, hop)]
+        ref.append(ref_pool.flush())
+        ref = np.concatenate([o for o in ref if o.shape[1]], axis=1)
+
+        for every in (1, 3, 8):
+            drain = StreamingDrain(
+                StreamingViterbiBatch(
+                    A, pi, n_streams=M, lag=lag, use_kernels=kernels
+                ),
+                every=every,
+            )
+            got = [drain.push(obs_batch[:, i : i + hop])
+                   for i in range(0, T, hop)]
+            got.append(drain.flush())
+            got = np.concatenate(
+                [o for o in got if o is not None and o.shape[1]], axis=1
+            )
+            assert got.shape == (M, T), (kernels, every)
+            np.testing.assert_array_equal(got, ref)
