@@ -1,0 +1,254 @@
+"""Convergence-grade reproduction drill (round-3 VERDICT #1).
+
+Closes the scientific loop — train -> calibrate -> decode -> table — that
+the reference exists for (the docstring accuracy tables,
+dcnet/softmax_viterbi.py:55-84, and the training_fn/inference_fn loop
+:3558-3597), on the synthetic learnable corpus, since no real corpus is
+mounted in this environment:
+
+1. generates the LEARNABLE fake corpus (data/fake_corpus.py rich=True:
+   harmonically rich renders of mean-reverting melodies, so the CFP/STFT
+   features carry a real f0 ridge),
+2. trains >=2 families — msnet (256-sample hop) and jdc (10 ms hop) —
+   through the PRODUCT app path (apps/*.py main) to early-stop
+   convergence with real patience,
+3. runs the full calibration + evaluation surface: the per-epoch
+   automatic threshold selection (99-grid argmax-VA, checkpointed), the
+   sweep-threshold mode, and `infer --external-eval` under all three
+   observation models (shaun / softmax-scaled / softmax-unscaled),
+4. writes a BASELINE.md-format accuracy artifact — REPRO_r04.md +
+   REPRO_r04.json at the repo root — tracking raw vs Viterbi OA per
+   corpus per method, plus the convergence evidence (val-OA curve,
+   threshold trajectory) so accuracy progress is tracked per round the
+   way BENCH tracks perf.
+
+Run (CPU, ~40-90 min at defaults):
+  PYTHONPATH=/root/.axon_site:/root/repo python scripts/repro_drill.py
+  ... --small for the test-scale version (see tests/test_repro_drill.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vspl_jax_cache_cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+
+METHODS = ("shaun", "softmax-scaled", "softmax-unscaled")
+CORPORA = ("validation", "test", "adc04", "mirex05", "mir1k", "rwc")
+
+
+def _events(log_dir: Path) -> list[dict]:
+    path = log_dir / "events.jsonl"
+    if not path.exists():
+        return []
+    return [json.loads(l) for l in path.read_text().splitlines()]
+
+
+def _scalar_curve(events, tag):
+    return [e["value"] for e in events
+            if e.get("kind") == "scalar" and e.get("tag") == tag]
+
+
+def chance_oa(notes_list) -> float:
+    """OA of the always-unvoiced predictor (= mean unvoiced fraction) —
+    the floor any trained system must clear."""
+    fr = [float(np.mean(np.asarray(n) <= 0.1)) for n in notes_list]
+    return float(np.mean(fr))
+
+
+def run_family(name: str, workdir: Path, env: dict, args) -> dict:
+    import importlib
+
+    app = importlib.import_module(f"viterbi_spl_tpu.apps.{name}")
+    os.environ.update(env)
+    ckpt = str(workdir / f"ckpt_{name}")
+    log_dir = workdir / f"log_{name}"
+
+    t0 = time.time()
+    state = app.main(
+        ["train", "--debug", "--ckpt", ckpt,
+         "--epochs", str(args.epochs),
+         "--steps-per-epoch", str(args.steps_per_epoch),
+         "--patience", str(args.patience),
+         "--log-dir", str(log_dir)]
+    )
+    train_s = time.time() - t0
+    events = _events(log_dir)
+    val_curve = _scalar_curve(events, "val_oa")
+    th_curve = _scalar_curve(events, "voicing_threshold")
+
+    out = dict(
+        family=name,
+        best_val_oa=float(state.best_oa),
+        best_epoch=int(state.best_epoch),
+        epochs_run=len(val_curve),
+        selected_threshold=float(state.voicing_threshold),
+        val_oa_curve=[round(v, 4) for v in val_curve],
+        threshold_curve=[round(v, 4) for v in th_curve],
+        train_seconds=round(train_s, 1),
+    )
+
+    # threshold sweep (the ftanet/threshold.py surface): the sweep's
+    # argmax-VA threshold should agree with the checkpointed auto one
+    sweep = app.main(["sweep-threshold", "--debug", "--ckpt", ckpt])
+    out["sweep_best_threshold"] = float(sweep["best_threshold"])
+    out["sweep_best_oa_threshold"] = float(sweep["best_oa_threshold"])
+
+    # full evaluation surface: every corpus x every observation model
+    per_method = {}
+    for method in METHODS:
+        res = app.main(
+            ["infer", "--debug", "--ckpt", ckpt, "--external-eval",
+             "--viterbi-method", method]
+        )
+        per_method[method] = {
+            c: dict(
+                raw_oa=float(res[c]["raw_mean_oa"]),
+                viterbi_oa=float(res[c]["viterbi_mean_oa"]),
+            )
+            for c in CORPORA if c in res
+        }
+    out["results"] = per_method
+
+    # chance floor per corpus (always-unvoiced OA) from the datasets the
+    # app evaluated — rebuild them the same way
+    ds = app.build_real_datasets(debug=True)
+    ext = app.build_external_datasets(debug=True)
+    floors = {}
+    for c in CORPORA:
+        d = ds.get(c) or ext.get(c)
+        if d is not None:
+            floors[c] = round(chance_oa([t.notes for t in d.tracks]), 4)
+    out["chance_oa"] = floors
+    return out
+
+
+def render_markdown(results: dict, args) -> str:
+    lines = [
+        "# REPRO — convergence-grade fake-corpus reproduction drill",
+        "",
+        f"Generated by `scripts/repro_drill.py` (epochs<={args.epochs}, "
+        f"patience={args.patience}, steps/epoch={args.steps_per_epoch}, "
+        f"mdb track duration {args.duration:.0f}s). The synthetic "
+        "learnable corpus stands in for the unmounted real corpora; the "
+        "chains are the PRODUCT app paths (train -> auto-threshold -> "
+        "checkpoint -> infer --external-eval). Numbers are mean OA over "
+        "the split (2 tracks/corpus at --debug scale). `chance` is the "
+        "always-unvoiced OA floor.",
+        "",
+    ]
+    for fam, r in results["families"].items():
+        lines += [
+            f"## {fam}",
+            "",
+            f"- best val OA **{r['best_val_oa']:.4f}** @ epoch "
+            f"{r['best_epoch']} ({r['epochs_run']} epochs run, "
+            f"{r['train_seconds']:.0f}s)",
+            f"- auto-selected voicing threshold "
+            f"{r['selected_threshold']:.2f} (sweep argmax-VA "
+            f"{r['sweep_best_threshold']:.2f}, argmax-OA "
+            f"{r['sweep_best_oa_threshold']:.2f})",
+            f"- val-OA curve: {r['val_oa_curve']}",
+            f"- threshold curve: {r['threshold_curve']}",
+            "",
+            "| corpus | chance | raw OA | viterbi (shaun) | "
+            "viterbi (softmax-scaled) | viterbi (softmax-unscaled) |",
+            "|---|---|---|---|---|---|",
+        ]
+        shaun = r["results"]["shaun"]
+        for c in CORPORA:
+            if c not in shaun:
+                continue
+            row = [
+                c,
+                f"{r['chance_oa'].get(c, float('nan')):.3f}",
+                f"{shaun[c]['raw_oa']:.4f}",
+            ]
+            for m in METHODS:
+                row.append(f"{r['results'][m][c]['viterbi_oa']:.4f}")
+            lines.append("| " + " | ".join(row) + " |")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="reproduction drill")
+    ap.add_argument("--workdir", default="/tmp/vspl_repro")
+    ap.add_argument("--families", default="msnet,jdc")
+    ap.add_argument("--duration", type=float, default=24.0,
+                    help="seconds per fake medleydb track")
+    ap.add_argument("--ext-duration", type=float, default=8.0)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--patience", type=int, default=6)
+    ap.add_argument("--steps-per-epoch", type=int, default=24)
+    ap.add_argument("--out", default=None,
+                    help="artifact basename (default REPRO_r04 at repo "
+                         "root; tests pass a tmp path)")
+    ap.add_argument("--small", action="store_true",
+                    help="test scale: short tracks, few epochs")
+    ap.add_argument("--fresh-corpus", action="store_true")
+    args = ap.parse_args(argv)
+    if args.small:
+        args.duration = 8.0
+        args.ext_duration = 4.0
+        args.epochs = 8
+        args.patience = 8
+        args.steps_per_epoch = 12
+
+    workdir = Path(args.workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    corpus_root = workdir / "corpus"
+    manifest = corpus_root / "manifest.json"
+    want = dict(duration=args.duration, ext_duration=args.ext_duration,
+                rich=True, version=1)
+    if args.fresh_corpus or not manifest.exists() or \
+            json.loads(manifest.read_text()) != want:
+        import shutil
+
+        from viterbi_spl_tpu.data.fake_corpus import generate_fake_corpus
+
+        if corpus_root.exists():
+            shutil.rmtree(corpus_root)
+        print("generating learnable corpus ...", flush=True)
+        env = generate_fake_corpus(
+            corpus_root, duration=args.duration,
+            ext_duration=args.ext_duration, rwc_duration=args.ext_duration,
+            rich=True,
+        )
+        (corpus_root / "env.json").write_text(json.dumps(env))
+        manifest.write_text(json.dumps(want))
+    env = json.loads((corpus_root / "env.json").read_text())
+
+    results = dict(
+        generated=time.strftime("%Y-%m-%d %H:%M:%S"),
+        config=dict(duration=args.duration, epochs=args.epochs,
+                    patience=args.patience,
+                    steps_per_epoch=args.steps_per_epoch),
+        families={},
+    )
+    for fam in args.families.split(","):
+        print(f"=== {fam} ===", flush=True)
+        results["families"][fam] = run_family(fam, workdir, env, args)
+
+    out_base = args.out or str(REPO / "REPRO_r04")
+    Path(out_base + ".json").write_text(json.dumps(results, indent=1))
+    Path(out_base + ".md").write_text(render_markdown(results, args))
+    print(f"wrote {out_base}.md / .json")
+    return results
+
+
+if __name__ == "__main__":
+    main()

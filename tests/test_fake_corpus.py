@@ -16,8 +16,6 @@ BASELINE.md accuracy table.
 """
 
 import os
-import struct
-import wave
 from pathlib import Path
 
 import numpy as np
@@ -25,186 +23,17 @@ import pytest
 
 pytestmark = pytest.mark.slow
 
-SR44 = 44100
-HOP_256 = 256.0 / 44100.0
-
-
-def _write_wav(path, samples, sr):
-    path.parent.mkdir(parents=True, exist_ok=True)
-    pcm = np.clip(samples * 32767.0, -32768, 32767).astype(np.int16)
-    with wave.open(str(path), "wb") as fh:
-        fh.setnchannels(1)
-        fh.setsampwidth(2)
-        fh.setframerate(sr)
-        fh.writeframes(pcm.tobytes())
-
-
-def _write_aiff(path, samples, sr):
-    """Minimal mono PCM16 AIFF (FORM/COMM/SSND) matching io/wav.py's
-    parser; sample rate as an 80-bit extended float."""
-    path.parent.mkdir(parents=True, exist_ok=True)
-    pcm = np.clip(samples * 32767.0, -32768, 32767).astype(">i2").tobytes()
-    frames = len(samples)
-    # 80-bit extended: sr = mant / 2^63 * 2^(exp - 16383)
-    exp = 16383 + 15  # 44100 = 1.345... * 2^15
-    mant = int(sr) << 48
-    comm = struct.pack(">hIh", 1, frames, 16) + struct.pack(">HQ", exp, mant)
-    ssnd = struct.pack(">II", 0, 0) + pcm
-    body = (
-        b"AIFF"
-        + b"COMM" + struct.pack(">I", len(comm)) + comm
-        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
-    )
-    with open(path, "wb") as fh:
-        fh.write(b"FORM" + struct.pack(">I", len(body)) + body)
-
-
-def _melody(n_frames, hop_seconds, seed, f0=220.0):
-    """A wandering melody: per-frame frequencies with unvoiced stretches."""
-    rng = np.random.default_rng(seed)
-    steps = rng.integers(-1, 2, n_frames).astype(np.float64) * 0.3
-    freqs = f0 * 2.0 ** (np.cumsum(steps) / 12.0)
-    voiced = np.repeat(rng.random(n_frames // 25 + 1) > 0.3, 25)[:n_frames]
-    return np.where(voiced, freqs, 0.0)
-
-
-def _render(freqs, hop_seconds, sr, length):
-    """Additive rendering of a per-frame frequency track."""
-    t_frames = np.arange(len(freqs)) * hop_seconds
-    t = np.arange(length) / sr
-    f = np.interp(t, t_frames, np.where(freqs > 0, freqs, 0.0))
-    phase = 2 * np.pi * np.cumsum(f) / sr
-    gate = np.interp(t, t_frames, (freqs > 0).astype(np.float64))
-    sig = 0.5 * np.sin(phase) * gate
-    sig += 0.01 * np.random.default_rng(0).normal(size=length)
-    return sig.astype(np.float32)
-
 
 @pytest.fixture(scope="module")
 def fake_corpus(tmp_path_factory):
+    """Tiny (2 s) corpus trees from the shared generator
+    (viterbi_spl_tpu/data/fake_corpus.py) — execution drill scale; the
+    convergence-grade learnable corpus (rich=True) is exercised by
+    scripts/repro_drill.py and tests/test_repro_drill.py."""
+    from viterbi_spl_tpu.data.fake_corpus import generate_fake_corpus
+
     root = tmp_path_factory.mktemp("corpus")
-    from viterbi_spl_tpu.data.splits import medleydb_splits
-    from viterbi_spl_tpu.frontend import CFP, MSNET_CFP
-
-    cfp = CFP(MSNET_CFP)
-    dur = 2.0  # seconds per fake track
-    L44 = int(dur * SR44)
-
-    # ---- medleydb: MIX wavs + MELODY2 csv + SOURCEID lab ----
-    mdb = root / "medleydb"
-    mel2 = root / "melody2"
-    sect = root / "sections"
-    mel2.mkdir()
-    sect.mkdir()
-    splits = medleydb_splits()
-    tids = [t for split in splits.values() for t in split[:2]]
-    n_mel = None
-    for i, tid in enumerate(tids):
-        n_guess = int(np.ceil(L44 / 256)) + 1
-        freqs = _melody(n_guess, HOP_256, seed=i)
-        samples = _render(freqs, HOP_256, SR44, L44)
-        _write_wav(mdb / tid / f"{tid}_MIX.wav", samples, SR44)
-        if n_mel is None:
-            # size the annotation to the actual CFP frame count once
-            # (reconcile_lengths allows 0 <= n_mel - T_spec <= 1)
-            T_cfp = cfp.features(samples).shape[0]
-            assert 0 <= n_guess - T_cfp <= 1, (n_guess, T_cfp)
-            n_mel = n_guess
-        times = np.arange(n_mel) * HOP_256
-        with open(mel2 / f"{tid}_MELODY2.csv", "w") as fh:
-            for t, f in zip(times, freqs[:n_mel]):
-                fh.write(f"{float(t)!r},{float(f)!r}\n")
-        with open(sect / f"{tid}_SOURCEID.lab", "w") as fh:
-            fh.write("start_time,end_time,instrument_label\n")
-            fh.write(f"0.0,{float(dur)!r},female singer\n")
-
-    # ---- adc04: wav + REF.txt on the 256-hop grid ----
-    adc = root / "adc04"
-    from viterbi_spl_tpu.data.splits import adc04_track_ids
-
-    for i, tid in enumerate(adc04_track_ids()[:2]):
-        freqs = _melody(n_mel, HOP_256, seed=100 + i)
-        samples = _render(freqs, HOP_256, SR44, L44)
-        _write_wav(adc / f"{tid}.wav", samples, SR44)
-        with open(adc / f"{tid}REF.txt", "w") as fh:
-            for k in range(n_mel):
-                fh.write(f"{float(k * HOP_256)!r} {float(freqs[k])!r}\n")
-
-    # ---- mirex05: wav + REF.txt on the 10 ms grid ----
-    mrx = root / "mirex05"
-    n_10ms = int(dur / 0.01)
-    for i, tid in enumerate(("train01", "train02")):
-        freqs = _melody(n_10ms, 0.01, seed=200 + i)
-        samples = _render(freqs, 0.01, SR44, L44)
-        _write_wav(mrx / f"{tid}.wav", samples, SR44)
-        with open(mrx / f"{tid}REF.txt", "w") as fh:
-            for k in range(n_10ms):
-                fh.write(f"{float(k * 0.01)!r} {float(freqs[k])!r}\n")
-
-    # ---- mir1k: 16 kHz Wavfile + PitchLabel .pv (MIDI at 20 ms) ----
-    m1k = root / "mir1k"
-    L16 = int(dur * 16000)
-    n_pv = (L16 - 640) // 320 + 1
-    for i, tid in enumerate(("abjones_1_01", "abjones_1_02")):
-        freqs = _melody(n_pv, 0.02, seed=300 + i)
-        samples = _render(freqs, 0.02, 16000, L16)
-        _write_wav(m1k / "Wavfile" / f"{tid}.wav", samples, 16000)
-        pitches = np.where(
-            freqs > 0, 69.0 + 12.0 * np.log2(np.maximum(freqs, 1) / 440.0), 0.0
-        )
-        (m1k / "PitchLabel").mkdir(exist_ok=True)
-        np.savetxt(m1k / "PitchLabel" / f"{tid}.pv", pitches, fmt="%.6f")
-
-    # ---- rwc: 7-disk aiff walk (100 recordings) + AIST MELODY.TXT ----
-    rwc = root / "rwc"
-    aiff_dur = 1.0
-    La = int(aiff_dur * SR44)
-    per_disk = [15, 15, 15, 15, 15, 15, 10]
-    rec = 0
-    tone = _render(_melody(100, 0.01, seed=999), 0.01, SR44, La)
-    for disk, count in enumerate(per_disk, start=1):
-        ddir = rwc / "popular" / f"RWC-MDB-P-2001-M0{disk}"
-        for within in range(1, count + 1):
-            # recordings 0 and 1 (the debug slice) get real audio, the
-            # rest only need to exist for the 7-disk walk
-            if rec < 2:
-                freqs = _melody(int(aiff_dur / 0.01), 0.01, seed=400 + rec)
-                samples = _render(freqs, 0.01, SR44, La)
-            else:
-                samples = tone[:256]
-            _write_aiff(ddir / f"{within} FakeSong.aiff", samples, SR44)
-            rec += 1
-    melody_dir = rwc / "popular" / "AIST.RWC-MDB-P-2001.MELODY"
-    melody_dir.mkdir(parents=True)
-    for rec_idx in range(2):
-        freqs = _melody(int(aiff_dur / 0.01), 0.01, seed=400 + rec_idx)
-        with open(melody_dir / f"RM-P{rec_idx + 1:03d}.MELODY.TXT", "w") as fh:
-            for k, f in enumerate(freqs):
-                if f > 0:
-                    fh.write(f"{k} {k} m {f:.3f} 0\n")
-
-    # ---- tonet yu labels: $fatnet_spec/f0ref on the strict 10 ms grid ----
-    # (tonet/main_shaun.py:386-406 gen_label_yu_fn); row count is pinned to
-    # the actual tonet-CFP frame count so reconcile_lengths accepts them
-    from viterbi_spl_tpu.frontend import TONET_CFP
-    from viterbi_spl_tpu.io.wav import load_wav
-
-    f0ref = root / "fatnet" / "f0ref"
-    f0ref.mkdir(parents=True)
-    tonet_cfp = CFP(TONET_CFP)
-    samples8, _ = load_wav(str(mdb / tids[0] / f"{tids[0]}_MIX.wav"), sr=8000)
-    n_f0 = tonet_cfp.features(samples8).shape[0] + 1
-    for i, tid in enumerate(tids):
-        freqs = _melody(n_f0, 0.01, seed=500 + i)
-        with open(f0ref / f"{tid}_MIX.txt", "w") as fh:
-            for k in range(n_f0):
-                fh.write(f"{k * 0.01:.2f} {float(freqs[k])!r}\n")
-
-    return dict(
-        medleydb=str(mdb), melody2_dir=str(mel2), section_dir=str(sect),
-        adc04=str(adc), mirex05=str(mrx), mir1k=str(m1k), rwc=str(rwc),
-        fatnet_spec=str(root / "fatnet"),
-    )
+    return generate_fake_corpus(root, duration=2.0)
 
 
 def _drill(app_module, fake_corpus, tmp_path, monkeypatch, strict=()):
