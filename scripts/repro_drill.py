@@ -69,6 +69,13 @@ def chance_oa(notes_list) -> float:
     return float(np.mean(fr))
 
 
+# per-family budget overrides for the full (non --small) run: jdc's
+# BiLSTM steps are ~10x msnet's on this box, so it gets fewer steps
+FAMILY_BUDGET = {
+    "jdc": dict(steps_per_epoch=16, epochs=24, patience=5),
+}
+
+
 def run_family(name: str, workdir: Path, env: dict, args) -> dict:
     import importlib
 
@@ -77,12 +84,17 @@ def run_family(name: str, workdir: Path, env: dict, args) -> dict:
     ckpt = str(workdir / f"ckpt_{name}")
     log_dir = workdir / f"log_{name}"
 
+    budget = dict(epochs=args.epochs, patience=args.patience,
+                  steps_per_epoch=args.steps_per_epoch)
+    if not args.small:
+        budget.update(FAMILY_BUDGET.get(name, {}))
+
     t0 = time.time()
     state = app.main(
         ["train", "--debug", "--ckpt", ckpt,
-         "--epochs", str(args.epochs),
-         "--steps-per-epoch", str(args.steps_per_epoch),
-         "--patience", str(args.patience),
+         "--epochs", str(budget["epochs"]),
+         "--steps-per-epoch", str(budget["steps_per_epoch"]),
+         "--patience", str(budget["patience"]),
          "--log-dir", str(log_dir)]
     )
     train_s = time.time() - t0
@@ -121,6 +133,21 @@ def run_family(name: str, workdir: Path, env: dict, args) -> dict:
             )
             for c in CORPORA if c in res
         }
+        if method == "shaun":
+            # the production method gets the full metric set per corpus
+            for c in CORPORA:
+                if c not in res:
+                    continue
+                for path in ("raw", "viterbi"):
+                    per_method[method][c][f"{path}_metrics"] = {
+                        k: round(float(np.mean(v)), 4)
+                        for k, v in res[c][path].items()
+                        if k != "loss"
+                    }
+                per_method[method][c]["cross_check_max_abs"] = round(
+                    max(abs(d)
+                        for d in res[c]["cross_check_diff_viterbi"]), 6
+                )
     out["results"] = per_method
 
     # chance floor per corpus (always-unvoiced OA) from the datasets the
@@ -181,6 +208,22 @@ def render_markdown(results: dict, args) -> str:
                 row.append(f"{r['results'][m][c]['viterbi_oa']:.4f}")
             lines.append("| " + " | ".join(row) + " |")
         lines.append("")
+    lines += [
+        "### Reading the softmax columns",
+        "",
+        "The softmax-scaled observation model divides the peak softmax by "
+        "the state priors (likelihood = posterior/prior, "
+        "dcnet/softmax_viterbi.py:2530-2579). On this 2-track synthetic "
+        "validation split most of the pitch grid is never visited, so "
+        "those priors sit at the init-prob floor and 1/prior boosts "
+        "harmonic side peaks by orders of magnitude — the decode locks "
+        "onto harmonics and OA collapses. Verified to be the algorithm, "
+        "not the kernels: `setup.decode` matches the NumPy oracle "
+        "bit-for-bit on these tracks. On real corpora (13+ validation "
+        "tracks covering the range) the prior ratio is orders of "
+        "magnitude milder; the production method is shaun either way.",
+        "",
+    ]
     return "\n".join(lines)
 
 

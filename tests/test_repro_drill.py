@@ -1,0 +1,63 @@
+"""Small-scale regeneration of the reproduction drill (round-3 VERDICT #1).
+
+Runs scripts/repro_drill.py --small for msnet only: the learnable fake
+corpus, convergence training through the product app path, threshold
+sweep, and the all-methods/all-corpora evaluation — then asserts the
+scientific loop actually closed: OA materially above the always-unvoiced
+chance floor on EVERY corpus, the auto-selected threshold agreeing with
+the sweep, and the BASELINE-format artifact written.
+
+The full-scale artifact (msnet + jdc, longer tracks, real patience) is
+committed as REPRO_r04.md/.json at the repo root.
+"""
+
+import importlib.util
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_repro_drill_small(tmp_path):
+    path = Path(__file__).parent.parent / "scripts" / "repro_drill.py"
+    spec = importlib.util.spec_from_file_location("repro_drill", path)
+    drill = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(drill)
+
+    out_base = tmp_path / "REPRO_test"
+    results = drill.main([
+        "--small", "--families", "msnet",
+        "--workdir", str(tmp_path / "work"),
+        "--out", str(out_base),
+    ])
+
+    r = results["families"]["msnet"]
+    # convergence: trained to a real validation OA, improving over epochs
+    assert r["best_val_oa"] > 0.5, r["best_val_oa"]
+    assert r["epochs_run"] >= 3
+    assert r["val_oa_curve"][-1] > r["val_oa_curve"][0] or \
+        max(r["val_oa_curve"]) > 0.5
+
+    # threshold calibration converged: the checkpointed auto threshold is
+    # the sweep's argmax-VA threshold (same grid, same split)
+    assert abs(r["selected_threshold"] - r["sweep_best_threshold"]) < 0.05
+
+    # the production (shaun) method clears chance MATERIALLY on every
+    # corpus, raw and viterbi
+    shaun = r["results"]["shaun"]
+    for corpus, row in shaun.items():
+        floor = r["chance_oa"][corpus]
+        assert row["raw_oa"] > floor + 0.25, (corpus, row, floor)
+        assert row["viterbi_oa"] > floor + 0.25, (corpus, row, floor)
+        # mdb/adc04 sit on the family's own est grid: cross-check is tight
+        if corpus in ("validation", "test", "adc04"):
+            assert row["cross_check_max_abs"] < 1e-6, (corpus, row)
+
+    # artifact written in BASELINE format
+    md = (out_base.parent / (out_base.name + ".md")).read_text()
+    assert "| corpus | chance | raw OA |" in md
+    data = json.loads((out_base.parent / (out_base.name + ".json")).read_text())
+    assert "msnet" in data["families"]
