@@ -72,7 +72,10 @@ def chance_oa(notes_list) -> float:
 # per-family budget overrides for the full (non --small) run: jdc's
 # BiLSTM steps are ~10x msnet's on this box, so it gets fewer steps
 FAMILY_BUDGET = {
-    "jdc": dict(steps_per_epoch=16, epochs=24, patience=5),
+    # jdc's eval-mode path needs ~300+ steps before the BatchNorm running
+    # statistics settle (momentum 0.99), so it gets more epochs of fewer
+    # steps
+    "jdc": dict(steps_per_epoch=16, epochs=30, patience=6),
 }
 
 

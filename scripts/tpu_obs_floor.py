@@ -52,10 +52,12 @@ def main():
     _ = float(jnp.sum(padded[:, -1])) + float(jnp.sum(flat[-1]))
     print(f"tensor: [{N}, {T}, {P}] f32 = {GB:.2f} GB per stream", flush=True)
 
+    red = jax.jit(lambda y: jnp.sum(y[..., -1, :]))
+
     def timed(fn, *args, iters=8):
-        _ = float(jnp.sum(fn(*args)[..., -1, :]))
+        _ = float(red(fn(*args)))
         t0 = time.perf_counter()
-        sums = [jnp.sum(fn(*args)[..., -1, :]) for _ in range(iters)]
+        sums = [red(fn(*args)) for _ in range(iters)]
         _ = float(sum(sums))
         return (time.perf_counter() - t0) / iters * 1e3
 
@@ -102,10 +104,10 @@ def main():
     for block in (8, 16, 32, 64, 128):
         for sem in ("arbitrary", "parallel"):
             report(f"mosaic copy [N,{block},P] {sem}",
-                   timed(copy_call(block, sem)))
+                   timed(copy_call(block, sem), padded))
     for n_split in (4, 16):
         report(f"mosaic copy [N/{n_split},32,P] 2-D grid parallel",
-               timed(copy_call(32, "parallel", n_split)))
+               timed(copy_call(32, "parallel", n_split), padded))
 
     # flat rows
     def copy_flat(rows):
@@ -129,7 +131,7 @@ def main():
 
     for rows in (1024, 4096):
         report(f"mosaic copy flat [{rows},P] parallel",
-               timed(copy_flat(rows)))
+               timed(copy_flat(rows), flat))
 
     # ---- read-only / write-only (stream split) ----
     def read_only(block=32):
@@ -151,14 +153,16 @@ def main():
         )
         return jax.jit(call)
 
+    red_small = jax.jit(jnp.sum)
+
     def timed_small(fn, *args, iters=8):
-        _ = float(jnp.sum(fn(*args)))
+        _ = float(red_small(fn(*args)))
         t0 = time.perf_counter()
-        sums = [jnp.sum(fn(*args)) for _ in range(iters)]
+        sums = [red_small(fn(*args)) for _ in range(iters)]
         _ = float(sum(sums))
         return (time.perf_counter() - t0) / iters * 1e3
 
-    ms = timed_small(read_only())
+    ms = timed_small(read_only(), padded)
     results["read only"] = ms
     print(f"{'read only (block max out [N,P])':44s} {ms:8.2f} ms   "
           f"({GB / (ms / 1e3):5.0f} GB/s read)", flush=True)
@@ -247,7 +251,7 @@ def main():
     for chunk_rows in (4096, 16384, 65536):
         for slots in (2, 4, 8):
             report(f"hbm->hbm chunked rows={chunk_rows} slots={slots}",
-                   timed(hbm_chunked(chunk_rows, slots)))
+                   timed(hbm_chunked(chunk_rows, slots), flat))
 
     # ---- manual HBM->VMEM->HBM double-buffered pipeline ----
     def via_vmem(chunk_rows, slots):
@@ -297,13 +301,16 @@ def main():
                 pltpu.SemaphoreType.DMA((slots,)),
                 pltpu.SemaphoreType.DMA((slots,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
         )
         return jax.jit(call)
 
-    for chunk_rows in (2048, 4096):
-        for slots in (2, 4):
+    for chunk_rows, slots_list in ((2048, (2, 4)), (4096, (2,))):
+        for slots in slots_list:
             report(f"hbm->vmem->hbm rows={chunk_rows} slots={slots}",
-                   timed(via_vmem(chunk_rows, slots)))
+                   timed(via_vmem(chunk_rows, slots), flat))
 
     print("\nbest copy config:",
           min(results, key=lambda k: results[k]), flush=True)
