@@ -75,7 +75,7 @@ FAMILY_BUDGET = {
     # jdc's eval-mode path needs ~300+ steps before the BatchNorm running
     # statistics settle (momentum 0.99), so it gets more epochs of fewer
     # steps
-    "jdc": dict(steps_per_epoch=16, epochs=30, patience=6),
+    "jdc": dict(steps_per_epoch=24, epochs=30, patience=8),
 }
 
 
@@ -166,6 +166,37 @@ def run_family(name: str, workdir: Path, env: dict, args) -> dict:
     return out
 
 
+def run_imm(env: dict, args) -> dict:
+    """The imm family needs no training (per-recording NMF fits at
+    inference); its BASELINE rows are original / thresholding / viterbi
+    OA over mdb + adc04/mirex05/mir1k (imm/main_imm.py:43,
+    imm/thresholding.py:6-75), plus the log-energy threshold calibration
+    (the 2.442347 provenance)."""
+    os.environ.update(env)
+    from viterbi_spl_tpu.apps import imm as imm_app
+
+    res = imm_app.main(
+        ["eval", "--debug", "--external-eval", "--original",
+         "--calibrate-threshold"]
+    )
+    out = dict(
+        family="imm",
+        mdb_test=dict(
+            thresholding_oa=float(res["raw_mean_oa"]),
+            viterbi_oa=float(res["viterbi_mean_oa"]),
+            original_oa=float(res["original"]["mean_oa"]),
+        ),
+        calibrated_threshold=float(res["calibration"]["best_threshold"]),
+    )
+    for c in ("adc04", "mirex05", "mir1k"):
+        out[c] = dict(
+            thresholding_oa=float(res[c]["raw_mean_oa"]),
+            viterbi_oa=float(res[c]["viterbi_mean_oa"]),
+            original_oa=float(res[c]["original"]["mean_oa"]),
+        )
+    return out
+
+
 def render_markdown(results: dict, args) -> str:
     lines = [
         "# REPRO — convergence-grade fake-corpus reproduction drill",
@@ -181,6 +212,26 @@ def render_markdown(results: dict, args) -> str:
         "",
     ]
     for fam, r in results["families"].items():
+        if fam == "imm":
+            lines += [
+                "## imm (no training: per-recording NMF fits)",
+                "",
+                f"- calibrated log-energy threshold "
+                f"{r['calibrated_threshold']:.4f} (reference constant "
+                f"2.442347 = logit(0.92), imm/thresholding.py:80)",
+                "",
+                "| corpus | original OA | thresholding OA | viterbi OA |",
+                "|---|---|---|---|",
+            ]
+            for c in ("mdb_test", "adc04", "mirex05", "mir1k"):
+                row = r[c]
+                lines.append(
+                    f"| {c} | {row['original_oa']:.4f} | "
+                    f"{row['thresholding_oa']:.4f} | "
+                    f"{row['viterbi_oa']:.4f} |"
+                )
+            lines.append("")
+            continue
         lines += [
             f"## {fam}",
             "",
@@ -259,7 +310,7 @@ def main(argv=None):
     corpus_root = workdir / "corpus"
     manifest = corpus_root / "manifest.json"
     want = dict(duration=args.duration, ext_duration=args.ext_duration,
-                rich=True, version=1)
+                rich=True, version=3)
     if args.fresh_corpus or not manifest.exists() or \
             json.loads(manifest.read_text()) != want:
         import shutil
@@ -287,10 +338,23 @@ def main(argv=None):
     )
     for fam in args.families.split(","):
         print(f"=== {fam} ===", flush=True)
-        results["families"][fam] = run_family(fam, workdir, env, args)
+        if fam == "imm":
+            results["families"]["imm"] = run_imm(env, args)
+        else:
+            results["families"][fam] = run_family(fam, workdir, env, args)
 
     out_base = args.out or str(REPO / "REPRO_r04")
-    Path(out_base + ".json").write_text(json.dumps(results, indent=1))
+    json_path = Path(out_base + ".json")
+    if json_path.exists():
+        # merge with a previous invocation over the same artifact (e.g.
+        # the trained families first, then a separate --families imm run)
+        prev = json.loads(json_path.read_text())
+        merged = dict(prev)
+        merged.update({k: v for k, v in results.items() if k != "families"})
+        merged["families"] = {**prev.get("families", {}),
+                              **results["families"]}
+        results = merged
+    json_path.write_text(json.dumps(results, indent=1))
     Path(out_base + ".md").write_text(render_markdown(results, args))
     print(f"wrote {out_base}.md / .json")
     return results

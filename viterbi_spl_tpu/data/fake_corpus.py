@@ -71,16 +71,36 @@ def melody(n_frames: int, hop_seconds: float, seed: int, f0: float = 220.0,
     family's note grid (jdc clamps to [38-2/16, 83+2/16],
     jdc/kum_m2m3.py:289-341; msnet/dcnet grids start near MIDI 23) — and
     longer voiced phrases, so a model can learn the f0 -> bin mapping.
+
+    The walk is calibrated PER SECOND (~5 semitones/s RMS), not per
+    frame: a per-frame step at a 5.8 ms hop would wander ~40 st/s,
+    spreading the estimated voiced-transition distribution over many
+    bins and destroying the Viterbi prior's information (observed in the
+    round-4 drill: the decode tipped unvoiced on borderline frames).
     """
     rng = np.random.default_rng(seed)
     if rich:
-        center = rng.uniform(52.0, 68.0)
+        center = rng.uniform(55.0, 65.0)
         notes = np.empty(n_frames)
-        x = center + rng.uniform(-4, 4)
-        drift = 0.02
+        x = center + rng.uniform(-2, 2)
+        drift = 2.0 * hop_seconds  # ~0.5 s mean-reversion time constant
+        sigma = 5.0 * hop_seconds  # smooth: ~5 st/s max slope from noise
         for k in range(n_frames):
-            x += drift * (center - x) + rng.normal() * 0.25
+            x += drift * (center - x) + rng.normal() * sigma
             notes[k] = x
+        t = np.arange(n_frames) * hop_seconds
+        # a glide widens the in-track range while keeping per-frame steps
+        # tiny (max slope 2pi*0.4*2.5 ~ 6 st/s), and a very slow LARGE
+        # sweep makes every track cover most of the singing range — the
+        # non-equivariant families (jdc's BiLSTM/dense heads) cannot
+        # generalize across pitch from 2 narrow-center training tracks
+        notes = notes + 2.5 * np.sin(
+            2 * np.pi * 0.4 * t + rng.uniform(0, 2 * np.pi)
+        )
+        notes = notes + rng.uniform(5.0, 8.0) * np.sin(
+            2 * np.pi * rng.uniform(0.03, 0.07) * t
+            + rng.uniform(0, 2 * np.pi)
+        )
         notes = np.clip(notes, 45.0, 75.0)
         freqs = 440.0 * 2.0 ** ((notes - 69.0) / 12.0)
         phrase = max(int(0.5 / hop_seconds), 8)  # ~0.5 s voicing phrases
