@@ -267,15 +267,15 @@ def render_markdown(results: dict, args) -> str:
         "",
         "The softmax-scaled observation model divides the peak softmax by "
         "the state priors (likelihood = posterior/prior, "
-        "dcnet/softmax_viterbi.py:2530-2579). On this 2-track synthetic "
-        "validation split most of the pitch grid is never visited, so "
-        "those priors sit at the init-prob floor and 1/prior boosts "
-        "harmonic side peaks by orders of magnitude — the decode locks "
-        "onto harmonics and OA collapses. Verified to be the algorithm, "
-        "not the kernels: `setup.decode` matches the NumPy oracle "
-        "bit-for-bit on these tracks. On real corpora (13+ validation "
-        "tracks covering the range) the prior ratio is orders of "
-        "magnitude milder; the production method is shaun either way.",
+        "dcnet/softmax_viterbi.py:2530-2579). When the validation split "
+        "does not cover the pitch grid, unseen bins sit at the init-prob "
+        "floor and 1/prior boosts harmonic side peaks by orders of "
+        "magnitude — observed as a full OA collapse on an early "
+        "narrow-center corpus (oracle-verified as the algorithm, not the "
+        "kernels: `setup.decode` matched the NumPy oracle bit-for-bit). "
+        "The committed corpus sweeps most of the singing range per "
+        "track, so the priors are populated and the softmax columns are "
+        "healthy; the production method is shaun either way.",
         "",
     ]
     return "\n".join(lines)
