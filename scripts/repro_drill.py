@@ -76,6 +76,8 @@ FAMILY_BUDGET = {
     # statistics settle (momentum 0.99), so it gets more epochs of fewer
     # steps
     "jdc": dict(steps_per_epoch=24, epochs=30, patience=8),
+    # ftanet: conv/attention at batch 16 x 128 frames; moderate budget
+    "ftanet": dict(steps_per_epoch=16, epochs=20, patience=5),
 }
 
 
