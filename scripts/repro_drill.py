@@ -76,8 +76,11 @@ FAMILY_BUDGET = {
     # statistics settle (momentum 0.99), so it gets more epochs of fewer
     # steps
     "jdc": dict(steps_per_epoch=24, epochs=30, patience=8),
-    # ftanet: conv/attention at batch 16 x 128 frames; moderate budget
-    "ftanet": dict(steps_per_epoch=16, epochs=20, patience=5),
+    # ftanet: same BN-settling story as jdc — its eval-mode output is
+    # degenerate (val OA exactly 0) until ~150+ steps, so patience must
+    # survive the flat phase or early stop fires on the epoch-0 zero
+    # (observed in round 4; not run to convergence for wall-clock)
+    "ftanet": dict(steps_per_epoch=24, epochs=30, patience=12),
 }
 
 
