@@ -74,3 +74,34 @@ def test_obs_hyperparam_sweep(rng):
     assert out["oa"].shape == (2, 2)
     assert out["best_p"] in (0.6, 0.8)
     assert np.all(out["oa"] > 0.5)
+
+
+def test_sweep_logit_domain_imm_grid(rng):
+    """With threshold_is_logit (imm), the sweep compares raw max frame
+    logits (log energies) against the logit(p) grid — the reference's
+    calibration (imm/thresholding.py:156-347; 2.442347 = logit(0.92)) —
+    and returns the best threshold in the logit domain."""
+    import dataclasses
+
+    setup, tracks = _tracks_and_setup(rng)
+    setup = dataclasses.replace(setup, threshold_is_logit=True)
+    # energies: voiced frames peak at ~3.0, unvoiced at ~1.0 — separable
+    # by a logit-domain threshold around 2, NOT by any probability
+    for t in tracks:
+        voiced = t["notes"] > 0.1
+        lg = np.full_like(t["logits"], -2.0)
+        lg[np.arange(len(voiced)), t["logits"].argmax(1)] = np.where(
+            voiced, 3.0, 1.0
+        )
+        t["logits"] = lg
+
+    out = sweep_voicing_thresholds(setup, tracks)
+    th = np.asarray(out["thresholds"])
+    # grid is logit(p), p in .01...99
+    assert len(th) == 99
+    assert np.isclose(th[0], np.log(0.01 / 0.99), atol=1e-5)
+    assert np.isclose(th[91], 2.442347, atol=1e-4)
+    # the best threshold separates 1.0 from 3.0 (in the logit domain)
+    assert 1.0 < out["best_threshold"] < 3.0
+    k = int(np.argmin(np.abs(th - out["best_threshold"])))
+    assert out["va"][k] > 0.99
