@@ -41,9 +41,11 @@ def test_repro_drill_small(tmp_path):
     assert r["val_oa_curve"][-1] > r["val_oa_curve"][0] or \
         max(r["val_oa_curve"]) > 0.5
 
-    # threshold calibration converged: the checkpointed auto threshold is
-    # the sweep's argmax-VA threshold (same grid, same split)
-    assert abs(r["selected_threshold"] - r["sweep_best_threshold"]) < 0.05
+    # threshold calibration: the reported threshold is the CHECKPOINTED
+    # best-epoch one (apps/common.py restores after fit), so rerunning the
+    # sweep on the restored checkpoint must reproduce it exactly — same
+    # grid, same split, same params
+    assert abs(r["selected_threshold"] - r["sweep_best_threshold"]) < 1e-6
 
     # the production (shaun) method clears chance MATERIALLY on every
     # corpus, raw and viterbi

@@ -665,6 +665,13 @@ def app_main(cfg: AppConfig, build_real_datasets: Callable | None, argv=None,
         )
         if reporter is not None:
             reporter.close()
+        # report + return the CHECKPOINTED state, not the final-epoch one:
+        # fit() keeps training past the best epoch until patience fires, so
+        # state.voicing_threshold here is the LAST epoch's grid pick. The
+        # reference checkpoints the threshold variable with the best-OA
+        # checkpoint (dcnet/softmax_viterbi.py:2179-2207) and that is what
+        # inference uses — restore it so train-mode output matches.
+        state = trainer.restore(state)
         print(f"best val OA {state.best_oa:.4f} @ epoch {state.best_epoch}, "
               f"threshold {state.voicing_threshold:.2f}")
         return state
