@@ -129,6 +129,18 @@ def main():
     viterbi_oracle(transition_matrix=A, prob_init=pi, probs_st=obs_ref)
     ref_fps = T_REF / (time.perf_counter() - t0)
 
+    # Floor-relative utilization (round-5 VERDICT #6): the DESIGN §3b
+    # measured/op-count floors at THIS shape (N=128, T=32768, P=384,
+    # BLOCK=64) make per-round ms drift classifiable as noise vs
+    # regression at a glance. Constants, with provenance:
+    # - forward ALU floor 30 ms: the no-roll ablation of the banded
+    #   forward kernel (all compute, rolls removed) — DESIGN §3b table,
+    # - backtrace op-count floor 30 ms: ~30 vector ops + 2 lane
+    #   reductions per frame ≈ 940 cyc — DESIGN §3b table (measured 32.6
+    #   ms is within ~10% of it).
+    FWD_FLOOR_MS, BT_FLOOR_MS = 30.0, 30.0
+    DECODE_FLOOR_MS = FWD_FLOOR_MS + BT_FLOOR_MS
+
     detail = {
         "S": S,
         "padded_S": P,
@@ -137,6 +149,7 @@ def main():
         "tracks_per_batch": N,
         "frames_per_track": T,
         "banded_batch_decode_ms": round(dt_b * 1e3, 3),
+        "decode_pct_of_floor": round(100.0 * DECODE_FLOOR_MS / (dt_b * 1e3), 1),
         "numpy_reference_fps": round(ref_fps, 1),
         "path_matches_oracle": bool(ok),
     }
@@ -225,7 +238,16 @@ def main():
         _ = int(sum(sums))
         return N * T_SRV / ((time.perf_counter() - t0) / 8)
 
-    detail["serving_fused_obs_decode_fps"] = round(timed_srv(), 1)
+    srv_fps = timed_srv()
+    detail["serving_fused_obs_decode_fps"] = round(srv_fps, 1)
+    # serving floor at this shape: obs copy floor 7.8 ms for the
+    # [128, 8192, 384] / block_frames=32 pattern (measured achievable DMA,
+    # scripts/tpu_obs_floor.py — the "819 GB/s" spec is not reachable on
+    # this part; DESIGN §3b.1) + the decode floor scaled to T_SRV frames.
+    OBS_FLOOR_MS = 7.8
+    srv_floor_ms = OBS_FLOOR_MS + DECODE_FLOOR_MS * T_SRV / T
+    srv_floor_fps = N * T_SRV / (srv_floor_ms * 1e-3)
+    detail["serving_pct_of_floor"] = round(100.0 * srv_fps / srv_floor_fps, 1)
 
     # 722-bin serving chain (jdc configuration: 721 bins + unvoiced,
     # spw=16, d_max=40, P=768) — obs kernel + banded decode end to end,
@@ -309,9 +331,10 @@ def main():
     #   RTT on this host — 97% of the sync number, pure transfer latency),
     # - device: pushes chained on device, ONE readback at the end — the
     #   device compute + dispatch cost a local TPU host would pay,
-    # - pipelined: StreamingDrain(every=8) amortizes the RTT over 8
-    #   pushes with a device-side concat (what THIS host should serve
-    #   with when burst emission is acceptable).
+    # - pipelined: StreamingDrain (default every=32, the measured
+    #   frontier optimum) amortizes the RTT over a device-side concat
+    #   (what THIS host should serve with when burst emission is
+    #   acceptable).
     from viterbi_spl_tpu.hmm.streaming import StreamingDrain, StreamingViterbiBatch
 
     M, hop, lag = 128, 128, 128
@@ -343,16 +366,30 @@ def main():
     _ = np.asarray(outs[-1])
     dt_dev = (time.perf_counter() - t0) / n_dev
     detail["streaming_ms_per_push_device"] = round(dt_dev * 1e3, 2)
-
-    # pipelined: one host transfer per 8 pushes (StreamingDrain). Warm-up
-    # covers BOTH drain-concat shapes (the first drain sees 7 emitting
-    # pushes, steady drains see 8) so no compile lands in the timed loop.
-    drain = StreamingDrain(
-        StreamingViterbiBatch(A, pi, n_streams=M, lag=lag), every=8
+    # per-push kernel-time floor: the M*hop frames of DP work a push
+    # carries, priced at the batch decode floor rate (the streaming
+    # kernel additionally re-decodes the lag window and pays per-push
+    # dispatch — the pct shows how much of the device push is that
+    # overhead vs irreducible DP)
+    push_floor_ms = DECODE_FLOOR_MS * (M * hop) / (N * T)
+    detail["streaming_device_push_pct_of_floor"] = round(
+        100.0 * push_floor_ms / (dt_dev * 1e3), 1
     )
-    for _ in range(16):
+
+    # pipelined: one host transfer per EVERY pushes (StreamingDrain).
+    # every=32 is the measured optimum of the drain frontier on this host
+    # (scripts/tpu_streaming_bench.py round-5 sweep: 28.5/8.1/5.2/3.5/
+    # 2.7/3.5 ms/push at every=1/4/8/16/32/64 — the 64 point regresses on
+    # drained-block transfer size). Warm-up covers BOTH drain-concat
+    # shapes (the first drain sees every-1 emitting pushes, steady drains
+    # see every) so no compile lands in the timed loop.
+    EVERY = 32
+    drain = StreamingDrain(
+        StreamingViterbiBatch(A, pi, n_streams=M, lag=lag), every=EVERY
+    )
+    for _ in range(2 * EVERY + 2):
         drain.push(obs_push_d)
-    n_pipe = 16
+    n_pipe = 2 * EVERY
     t0 = time.perf_counter()
     for _ in range(n_pipe):
         drain.push(obs_push_d)

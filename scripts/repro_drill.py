@@ -25,6 +25,14 @@ mounted in this environment:
 Run (CPU, ~40-90 min at defaults):
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/repro_drill.py
   ... --small for the test-scale version (see tests/test_repro_drill.py).
+
+Round 5 adds --regime {clean,hard}: the hard regime degrades the corpus
+(chord-tone accompaniment, tremolo, broadband noise — data/fake_corpus.py
+hard=True) into the raw-OA ~0.7-0.85 band the reference's accuracy tables
+live in, so the paper's headline (Viterbi post-processing IMPROVES OA,
+dcnet/softmax_viterbi.py:55-84) is demonstrable; the clean regime stays
+as the saturated regression floor. Artifacts carry both under
+results["regimes"].
 """
 
 from __future__ import annotations
@@ -36,11 +44,20 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vspl_jax_cache_cpu")
+# --tpu must be applied before any jax use, i.e. at import time (the axon
+# site hook pins JAX_PLATFORMS=axon; CPU needs an explicit config update,
+# CLAUDE.md). Training on the real chip is ~2 orders of magnitude faster
+# per step than this box — round-5 VERDICT #5 certifies the curves agree.
+_ON_TPU = "--tpu" in sys.argv
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/tmp/vspl_jax_cache" if _ON_TPU else "/tmp/vspl_jax_cache_cpu",
+)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
@@ -112,6 +129,7 @@ def run_family(name: str, workdir: Path, env: dict, args) -> dict:
 
     out = dict(
         family=name,
+        platform=jax.default_backend(),
         best_val_oa=float(state.best_oa),
         best_epoch=int(state.best_epoch),
         epochs_run=len(val_curve),
@@ -202,21 +220,9 @@ def run_imm(env: dict, args) -> dict:
     return out
 
 
-def render_markdown(results: dict, args) -> str:
-    lines = [
-        "# REPRO — convergence-grade fake-corpus reproduction drill",
-        "",
-        f"Generated by `scripts/repro_drill.py` (epochs<={args.epochs}, "
-        f"patience={args.patience}, steps/epoch={args.steps_per_epoch}, "
-        f"mdb track duration {args.duration:.0f}s). The synthetic "
-        "learnable corpus stands in for the unmounted real corpora; the "
-        "chains are the PRODUCT app paths (train -> auto-threshold -> "
-        "checkpoint -> infer --external-eval). Numbers are mean OA over "
-        "the split (2 tracks/corpus at --debug scale). `chance` is the "
-        "always-unvoiced OA floor.",
-        "",
-    ]
-    for fam, r in results["families"].items():
+def _regime_markdown(reg: dict) -> list[str]:
+    lines = []
+    for fam, r in reg["families"].items():
         if fam == "imm":
             lines += [
                 "## imm (no training: per-recording NMF fits)",
@@ -250,23 +256,59 @@ def render_markdown(results: dict, args) -> str:
             f"- val-OA curve: {r['val_oa_curve']}",
             f"- threshold curve: {r['threshold_curve']}",
             "",
-            "| corpus | chance | raw OA | viterbi (shaun) | "
-            "viterbi (softmax-scaled) | viterbi (softmax-unscaled) |",
-            "|---|---|---|---|---|---|",
+            "| corpus | chance | raw OA | viterbi (shaun) | \u0394 | "
+            "viterbi (softmax-unscaled) | viterbi (softmax-scaled) |",
+            "|---|---|---|---|---|---|---|",
         ]
         shaun = r["results"]["shaun"]
         for c in CORPORA:
             if c not in shaun:
                 continue
+            delta = shaun[c]["viterbi_oa"] - shaun[c]["raw_oa"]
             row = [
                 c,
                 f"{r['chance_oa'].get(c, float('nan')):.3f}",
                 f"{shaun[c]['raw_oa']:.4f}",
+                f"{shaun[c]['viterbi_oa']:.4f}",
+                f"{delta:+.4f}",
             ]
-            for m in METHODS:
+            for m in ("softmax-unscaled", "softmax-scaled"):
                 row.append(f"{r['results'][m][c]['viterbi_oa']:.4f}")
             lines.append("| " + " | ".join(row) + " |")
         lines.append("")
+    return lines
+
+
+def render_markdown(results: dict, args) -> str:
+    lines = [
+        "# REPRO — convergence-grade fake-corpus reproduction drill",
+        "",
+        f"Generated by `scripts/repro_drill.py` (epochs<={args.epochs}, "
+        f"patience={args.patience}, steps/epoch={args.steps_per_epoch}, "
+        f"mdb track duration {args.duration:.0f}s). The synthetic "
+        "learnable corpus stands in for the unmounted real corpora; the "
+        "chains are the PRODUCT app paths (train -> auto-threshold -> "
+        "checkpoint -> infer --external-eval). Numbers are mean OA over "
+        "the split (2 tracks/corpus at --debug scale). `chance` is the "
+        "always-unvoiced OA floor.",
+        "",
+    ]
+    for regime in ("clean", "hard"):
+        if regime not in results["regimes"]:
+            continue
+        lines += [
+            f"# Regime: {regime}",
+            "",
+            ("Near-noiseless renders — raw OA saturates; this table is "
+             "the regression floor." if regime == "clean" else
+             "Degraded mixtures (chord-tone accompaniment, tremolo, "
+             "broadband noise; `data/fake_corpus.py` hard=True) targeting "
+             "the reference's raw-OA ~0.7-0.85 band, where the paper's "
+             "headline — Viterbi post-processing improves OA — is "
+             "demonstrable. \u0394 = viterbi(shaun) \u2212 raw."),
+            "",
+        ]
+        lines += _regime_markdown(results["regimes"][regime])
     lines += [
         "### Reading the softmax columns",
         "",
@@ -286,10 +328,16 @@ def render_markdown(results: dict, args) -> str:
     return "\n".join(lines)
 
 
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="reproduction drill")
     ap.add_argument("--workdir", default="/tmp/vspl_repro")
     ap.add_argument("--families", default="msnet,jdc")
+    ap.add_argument("--regime", choices=("clean", "hard"), default="clean")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run training/eval on the real TPU (default CPU; "
+                    "applied at import time, so this must be a real argv "
+                    "flag, not only in the main([...]) list)")
     ap.add_argument("--duration", type=float, default=24.0,
                     help="seconds per fake medleydb track")
     ap.add_argument("--ext-duration", type=float, default=8.0)
@@ -312,10 +360,11 @@ def main(argv=None):
 
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
-    corpus_root = workdir / "corpus"
+    hard = args.regime == "hard"
+    corpus_root = workdir / ("corpus_hard" if hard else "corpus")
     manifest = corpus_root / "manifest.json"
     want = dict(duration=args.duration, ext_duration=args.ext_duration,
-                rich=True, version=3)
+                rich=True, hard=hard, version=3)
     if args.fresh_corpus or not manifest.exists() or \
             json.loads(manifest.read_text()) != want:
         import shutil
@@ -328,7 +377,7 @@ def main(argv=None):
         env = generate_fake_corpus(
             corpus_root, duration=args.duration,
             ext_duration=args.ext_duration, rwc_duration=args.ext_duration,
-            rich=True,
+            rich=True, hard=hard,
         )
         (corpus_root / "env.json").write_text(json.dumps(env))
         manifest.write_text(json.dumps(want))
@@ -339,25 +388,34 @@ def main(argv=None):
         config=dict(duration=args.duration, epochs=args.epochs,
                     patience=args.patience,
                     steps_per_epoch=args.steps_per_epoch),
-        families={},
+        regimes={args.regime: dict(families={})},
     )
+    famdir = workdir / args.regime
+    famdir.mkdir(exist_ok=True)
     for fam in args.families.split(","):
-        print(f"=== {fam} ===", flush=True)
+        print(f"=== {fam} ({args.regime}) ===", flush=True)
         if fam == "imm":
-            results["families"]["imm"] = run_imm(env, args)
+            results["regimes"][args.regime]["families"]["imm"] = \
+                run_imm(env, args)
         else:
-            results["families"][fam] = run_family(fam, workdir, env, args)
+            results["regimes"][args.regime]["families"][fam] = \
+                run_family(fam, famdir, env, args)
 
-    out_base = args.out or str(REPO / "REPRO_r04")
+    out_base = args.out or str(REPO / "REPRO_r05")
     json_path = Path(out_base + ".json")
     if json_path.exists():
         # merge with a previous invocation over the same artifact (e.g.
-        # the trained families first, then a separate --families imm run)
+        # the trained families first, then a separate --families imm run,
+        # or the clean regime first and the hard regime after)
         prev = json.loads(json_path.read_text())
         merged = dict(prev)
-        merged.update({k: v for k, v in results.items() if k != "families"})
-        merged["families"] = {**prev.get("families", {}),
-                              **results["families"]}
+        merged.update({k: v for k, v in results.items() if k != "regimes"})
+        regs = dict(prev.get("regimes", {}))
+        for reg, rv in results["regimes"].items():
+            cur = regs.get(reg, dict(families={}))
+            cur["families"] = {**cur.get("families", {}), **rv["families"]}
+            regs[reg] = cur
+        merged["regimes"] = regs
         results = merged
     json_path.write_text(json.dumps(results, indent=1))
     Path(out_base + ".md").write_text(render_markdown(results, args))

@@ -62,6 +62,31 @@ def main():
         f"({M * hop / dt / 1e6:.2f} M frames/s)"
     )
 
+    # ---- drain frontier (round-5 VERDICT #7): ms/push vs burst latency
+    # over StreamingDrain(every). The pipelined residual above the device
+    # push time is RTT/every by construction; the burst latency a consumer
+    # pays is every * hop * 10 ms of audio per drain. Pick the default
+    # from this curve.
+    from viterbi_spl_tpu.hmm.streaming import StreamingDrain
+
+    print("\nevery  ms/push  device-ms  burst-latency-ms  aggregate-x")
+    for every in (1, 4, 8, 16, 32, 64):
+        drain = StreamingDrain(
+            StreamingViterbiBatch(A, pi, n_streams=M, lag=lag), every=every
+        )
+        for _ in range(2 * every + 2):  # compile both concat shapes
+            drain.push(obs_dev)
+        n = max(2 * every, 16)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            drain.push(obs_dev)
+        dtp = (time.perf_counter() - t0) / n
+        print(
+            f"{every:5d}  {dtp * 1e3:7.2f}  "
+            f"{'-':>9}  {every * hop * 10:16d}  "
+            f"{M * audio_s / dtp:11.0f}"
+        )
+
 
 if __name__ == "__main__":
     main()

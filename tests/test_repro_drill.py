@@ -1,4 +1,5 @@
-"""Small-scale regeneration of the reproduction drill (round-3 VERDICT #1).
+"""Small-scale regeneration of the reproduction drill (round-3 VERDICT #1,
+round-5 hard regime).
 
 Runs scripts/repro_drill.py --small for msnet only: the learnable fake
 corpus, convergence training through the product app path, threshold
@@ -7,8 +8,10 @@ scientific loop actually closed: OA materially above the always-unvoiced
 chance floor on EVERY corpus, the auto-selected threshold agreeing with
 the sweep, and the BASELINE-format artifact written.
 
-The full-scale artifact (msnet + jdc, longer tracks, real patience) is
-committed as REPRO_r04.md/.json at the repo root.
+The hard-regime test regenerates the degraded corpus (accompaniment +
+tremolo + noise, data/fake_corpus.py hard=True) and asserts the drill
+closes there too — the full-scale headline (positive Viterbi delta) is
+asserted on the committed REPRO_r05 artifact, not at --small scale.
 """
 
 import importlib.util
@@ -21,12 +24,16 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-def test_repro_drill_small(tmp_path):
+def _load_drill():
     path = Path(__file__).parent.parent / "scripts" / "repro_drill.py"
     spec = importlib.util.spec_from_file_location("repro_drill", path)
     drill = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(drill)
+    return drill
 
+
+def test_repro_drill_small(tmp_path):
+    drill = _load_drill()
     out_base = tmp_path / "REPRO_test"
     results = drill.main([
         "--small", "--families", "msnet",
@@ -34,7 +41,7 @@ def test_repro_drill_small(tmp_path):
         "--out", str(out_base),
     ])
 
-    r = results["families"]["msnet"]
+    r = results["regimes"]["clean"]["families"]["msnet"]
     # convergence: trained to a real validation OA, improving over epochs
     assert r["best_val_oa"] > 0.5, r["best_val_oa"]
     assert r["epochs_run"] >= 3
@@ -62,4 +69,29 @@ def test_repro_drill_small(tmp_path):
     md = (out_base.parent / (out_base.name + ".md")).read_text()
     assert "| corpus | chance | raw OA |" in md
     data = json.loads((out_base.parent / (out_base.name + ".json")).read_text())
-    assert "msnet" in data["families"]
+    assert "msnet" in data["regimes"]["clean"]["families"]
+
+
+def test_repro_drill_small_hard_regime(tmp_path):
+    drill = _load_drill()
+    out_base = tmp_path / "REPRO_test_hard"
+    results = drill.main([
+        "--small", "--regime", "hard", "--families", "msnet",
+        "--workdir", str(tmp_path / "work"),
+        "--out", str(out_base),
+    ])
+
+    r = results["regimes"]["hard"]["families"]["msnet"]
+    # the degraded corpus is still learnable: validation OA materially
+    # above the always-unvoiced chance floor (NOT saturated — that is the
+    # point of the regime; the positive-viterbi-delta headline is a
+    # full-scale property asserted on the committed artifact)
+    floor = r["chance_oa"]["validation"]
+    assert r["best_val_oa"] > floor + 0.15, (r["best_val_oa"], floor)
+    assert r["epochs_run"] >= 3
+
+    # both regimes can live in one artifact: merge against a clean stub
+    data = json.loads((out_base.parent / (out_base.name + ".json")).read_text())
+    assert "msnet" in data["regimes"]["hard"]["families"]
+    md = (out_base.parent / (out_base.name + ".md")).read_text()
+    assert "Regime: hard" in md

@@ -116,24 +116,92 @@ def melody(n_frames: int, hop_seconds: float, seed: int, f0: float = 220.0,
     return np.where(voiced, freqs, 0.0)
 
 
+def _accompaniment(n_frames: int, hop_seconds: float, center_midi: float,
+                   rng) -> np.ndarray:
+    """Piecewise-constant chord-tone track around the melody's center —
+    the harmonic distractor of the hard regime. Notes jump between
+    third/fifth/octave offsets every ~0.4 s, so the distractor's pitch
+    DYNAMICS differ from the smooth melody: the shaped Viterbi prior
+    (d_max-banded transitions, hmm/params.py) forbids the bin jumps the
+    distractor induces, which is exactly the mechanism the reference's
+    positive w/-Viterbi deltas rely on (dcnet/softmax_viterbi.py:55-84)."""
+    offsets = np.array([-12.0, -5.0, 4.0, 7.0, 12.0])
+    hold = max(int(0.4 / hop_seconds), 4)
+    n_holds = n_frames // hold + 1
+    notes = np.repeat(center_midi + rng.choice(offsets, n_holds), hold)
+    return 440.0 * 2.0 ** ((notes[:n_frames] - 69.0) / 12.0)
+
+
+def _pink_noise(length: int, rng) -> np.ndarray:
+    """1/f-shaped broadband noise (unit RMS) via spectral shaping."""
+    spec = np.fft.rfft(rng.normal(size=length))
+    f = np.arange(len(spec), dtype=np.float64)
+    f[0] = 1.0
+    pink = np.fft.irfft(spec / np.sqrt(f), n=length)
+    return pink / (np.std(pink) + 1e-12)
+
+
 def render(freqs: np.ndarray, hop_seconds: float, sr: int, length: int,
-           rich: bool = False) -> np.ndarray:
+           rich: bool = False, hard: bool = False, seed: int = 0) -> np.ndarray:
     """Additive rendering of a per-frame frequency track; rich=True adds
     5 partials at 1/k amplitude (a crude glottal-ish spectrum) so the
-    CFP's cepstral channels see real harmonic structure."""
+    CFP's cepstral channels see real harmonic structure.
+
+    hard=True (implies rich) degrades the mixture into the regime the
+    reference's accuracy tables live in (raw OA ~0.7-0.85, where Viterbi
+    smoothing pays for itself):
+    - ~5 Hz tremolo on the melody voice (depth 0.75): the weak phases are
+      where the acoustic model flips to a distractor bin for a few frames,
+    - an always-on chord-tone accompaniment (odd partials only — a
+      different timbre, so voicing IS learnable when the melody rests),
+    - broadband white + pink noise at ~20x the clean-regime level.
+    Labels stay the melody voice only, like a real MIX stem."""
+    rng = np.random.default_rng(10_000 + seed)
     t_frames = np.arange(len(freqs)) * hop_seconds
     t = np.arange(length) / sr
     f = np.interp(t, t_frames, np.where(freqs > 0, freqs, 0.0))
     phase = 2 * np.pi * np.cumsum(f) / sr
     gate = np.interp(t, t_frames, (freqs > 0).astype(np.float64))
-    if rich:
+    if rich or hard:
         sig = np.zeros(length)
         for k in range(1, 6):
             # drop partials above Nyquist (mir1k renders at 16 kHz)
             alias = np.interp(t, t_frames, (freqs * k < sr / 2).astype(float))
             sig += (0.35 / k) * np.sin(k * phase) * alias
         sig = sig * gate
-        sig += 0.005 * np.random.default_rng(0).normal(size=length)
+        if hard:
+            # tremolo: weak phases every ~200 ms where the melody nearly
+            # vanishes under the accompaniment
+            trem = 1.0 - 0.75 * 0.5 * (
+                1.0 + np.sin(2 * np.pi * rng.uniform(4.0, 6.0) * t
+                             + rng.uniform(0, 2 * np.pi))
+            )
+            sig = sig * trem
+            voiced = freqs > 0
+            if np.any(voiced):
+                center = float(np.median(
+                    69.0 + 12.0 * np.log2(freqs[voiced] / 440.0)
+                ))
+            else:
+                center = 60.0
+            acc = _accompaniment(len(freqs), hop_seconds, center, rng)
+            acc_f = np.interp(t, t_frames, acc)
+            acc_phase = 2 * np.pi * np.cumsum(acc_f) / sr
+            acc_sig = np.zeros(length)
+            for k in (1, 3, 5):  # odd partials: a distinguishable timbre
+                alias = np.interp(t, t_frames, (acc * k < sr / 2).astype(float))
+                acc_sig += (0.30 / k) * np.sin(k * acc_phase) * alias
+            # slow AM on the accompaniment at an incommensurate rate, so
+            # the melody/distractor dominance keeps trading places
+            acc_am = 0.65 + 0.35 * np.sin(
+                2 * np.pi * rng.uniform(0.7, 1.3) * t
+                + rng.uniform(0, 2 * np.pi)
+            )
+            sig = sig + acc_sig * acc_am
+            sig += 0.02 * rng.normal(size=length)
+            sig += 0.04 * _pink_noise(length, rng)
+        else:
+            sig += 0.005 * np.random.default_rng(0).normal(size=length)
     else:
         sig = 0.5 * np.sin(phase) * gate
         sig += 0.01 * np.random.default_rng(0).normal(size=length)
@@ -146,12 +214,14 @@ def generate_fake_corpus(
     ext_duration: float | None = None,
     rwc_duration: float = 1.0,
     rich: bool = False,
+    hard: bool = False,
 ) -> dict[str, str]:
     """Write every corpus tree under `root`; returns the env-root dict
     (medleydb/melody2_dir/section_dir/adc04/mirex05/mir1k/rwc/fatnet_spec)
     to point the dataset builders at. Each split's first two tracks carry
     real audio — the slice the apps' --debug mode reads."""
     root = Path(root)
+    rich = rich or hard  # hard regime renders rich melodies + distractors
     from ..data.splits import adc04_track_ids, medleydb_splits
     from ..frontend import CFP, MSNET_CFP
 
@@ -171,7 +241,8 @@ def generate_fake_corpus(
     for i, tid in enumerate(tids):
         n_guess = int(np.ceil(L44 / 256)) + 1
         freqs = melody(n_guess, HOP_256, seed=i, rich=rich)
-        samples = render(freqs, HOP_256, SR44, L44, rich=rich)
+        samples = render(freqs, HOP_256, SR44, L44, rich=rich, hard=hard,
+                         seed=i)
         write_wav(mdb / tid / f"{tid}_MIX.wav", samples, SR44)
         if n_mel is None:
             # size the annotation to the actual CFP frame count once
@@ -193,7 +264,8 @@ def generate_fake_corpus(
     n_ext = int(np.ceil(Le / 256)) + 1
     for i, tid in enumerate(adc04_track_ids()[:2]):
         freqs = melody(n_ext, HOP_256, seed=100 + i, rich=rich)
-        samples = render(freqs, HOP_256, SR44, Le, rich=rich)
+        samples = render(freqs, HOP_256, SR44, Le, rich=rich, hard=hard,
+                         seed=100 + i)
         write_wav(adc / f"{tid}.wav", samples, SR44)
         with open(adc / f"{tid}REF.txt", "w") as fh:
             for k in range(n_ext):
@@ -204,7 +276,8 @@ def generate_fake_corpus(
     n_10ms = int(ext_duration / 0.01)
     for i, tid in enumerate(("train01", "train02")):
         freqs = melody(n_10ms, 0.01, seed=200 + i, rich=rich)
-        samples = render(freqs, 0.01, SR44, Le, rich=rich)
+        samples = render(freqs, 0.01, SR44, Le, rich=rich, hard=hard,
+                         seed=200 + i)
         write_wav(mrx / f"{tid}.wav", samples, SR44)
         with open(mrx / f"{tid}REF.txt", "w") as fh:
             for k in range(n_10ms):
@@ -216,7 +289,8 @@ def generate_fake_corpus(
     n_pv = (L16 - 640) // 320 + 1
     for i, tid in enumerate(("abjones_1_01", "abjones_1_02")):
         freqs = melody(n_pv, 0.02, seed=300 + i, rich=rich)
-        samples = render(freqs, 0.02, 16000, L16, rich=rich)
+        samples = render(freqs, 0.02, 16000, L16, rich=rich, hard=hard,
+                         seed=300 + i)
         write_wav(m1k / "Wavfile" / f"{tid}.wav", samples, 16000)
         pitches = np.where(
             freqs > 0,
@@ -240,7 +314,8 @@ def generate_fake_corpus(
             if rec < 2:
                 freqs = melody(int(rwc_duration / 0.01), 0.01,
                                seed=400 + rec, rich=rich)
-                samples = render(freqs, 0.01, SR44, La, rich=rich)
+                samples = render(freqs, 0.01, SR44, La, rich=rich,
+                                 hard=hard, seed=400 + rec)
             else:
                 samples = tone[:256]
             write_aiff(ddir / f"{within} FakeSong.aiff", samples, SR44)

@@ -423,9 +423,15 @@ class StreamingDrain:
     [M, n] states at each boundary; flush() returns everything still
     pending. Per-stream state sequences are identical to per-push
     draining — the wrapper only reorders readbacks, never the DP.
+
+    The default every=32 is the measured optimum of the drain frontier on
+    this host (scripts/tpu_streaming_bench.py, round 5): 2.7 ms/push vs
+    5.2 at every=8; every=64 regresses (the drained block grows to ~4 MB
+    and transfer time eats the amortization). Residual model:
+    device-push + RTT/every + transfer(every*hop*M*4B).
     """
 
-    def __init__(self, pool: "StreamingViterbiBatch", every: int = 8):
+    def __init__(self, pool: "StreamingViterbiBatch", every: int = 32):
         if every < 1:
             raise ValueError("every must be >= 1")
         self.pool = pool
