@@ -263,3 +263,46 @@ def test_aux_from_state_matches_iteration_tail(rng, imm_small):
     ):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-8, err_msg=name)
+
+
+def test_viterbi_setup_shaped_transition_makes_unvoiced_reachable():
+    """Round-5 regression (VERDICT #2): the imm 'viterbi' method must use
+    the data-counted SHAPED transition (what the reference loads from
+    viterbi_transition_matrix.dat, main_imm.py:254-270), not the analytic
+    exp-decay matrix whose unvoiced state is unreachable by construction
+    (P(voiced->unvoiced) ~ 1e-90, imm/transition_matrix.py:17-22). With
+    the analytic matrix the decoded path is all-voiced regardless of the
+    observations, which inverted viterbi-vs-thresholding in REPRO_r04."""
+    from viterbi_spl_tpu.apps.imm import build_setup
+    from viterbi_spl_tpu.models.imm import IMM, IMMConfig
+
+    imm = IMM(IMMConfig(w=512, h=64, niters=5, R=6, P=8, K=4,
+                        bins_per_note=4))
+    U = imm.config.U
+    rng = np.random.default_rng(0)
+
+    # reference labels with a real unvoiced stretch in the middle
+    T = 300
+    notes = np.full(T, 57.0, np.float32)
+    notes[100:200] = 0.0
+
+    shaped = build_setup(imm, stats_notes=[notes])
+    A = shaped.transition_matrix
+    # unvoiced state persistent AND reachable
+    assert A[U, U] > 0.5
+    assert A[:U, U].mean() > 1e-6
+    analytic = build_setup(imm)
+    assert analytic.transition_matrix[U, U] < 1e-6  # the broken wiring
+
+    # synthetic log-energy logits: strong ridge at bin 40 on voiced
+    # frames, noise-floor frames in the unvoiced stretch
+    logits = rng.normal(-8.0, 0.3, (T, U)).astype(np.float32)
+    voiced = notes > 0
+    logits[voiced, 40] = 6.0
+    voiced_frac_ref = voiced.mean()
+
+    v_shaped, b_shaped = shaped.decode(logits)
+    v_analytic, _ = analytic.decode(logits)
+    assert v_analytic.mean() > 0.99  # analytic: stuck all-voiced
+    assert abs(v_shaped.mean() - voiced_frac_ref) < 0.05
+    assert (b_shaped[v_shaped] == 40).mean() > 0.95

@@ -16,7 +16,6 @@ import argparse
 
 import numpy as np
 
-from ..families import family_spec
 from ..harness.evaluate import DecoderSetup, evaluate_posteriorgrams
 from ..models.adapters import imm_pitch_logits
 from ..models.imm import IMM, IMMConfig
@@ -74,20 +73,54 @@ def synthetic_tracks(
     return tracks
 
 
-def build_setup(imm: IMM, method: str = "shaun") -> DecoderSetup:
-    spec = family_spec("imm") if imm.config.U == 721 else None
+def build_setup(
+    imm: IMM, method: str = "shaun", stats_notes=None
+) -> DecoderSetup:
+    """DecoderSetup for the imm 'viterbi' evaluation method.
+
+    stats_notes: optional list of per-track reference MIDI note arrays.
+    When given, the transition matrix/init probs are the SHAPED
+    data-counted ones — d_max-banded distance counts + counted
+    voiced/unvoiced switch — which is what the reference's imm viterbi
+    actually loads (`viterbi_transition_matrix.dat`, produced by
+    imm/viterbi_transition_post_processing.py:36-100 with d_max =
+    35.92*0.01*240*1.3//2 = 56; main_imm.py:254-270 loads it). The
+    ANALYTIC exp-decay matrix (imm/transition_matrix.py) belongs only to
+    the 'original' method (tf_imm's internal decode): its unvoiced state
+    is unreachable by construction (P(voiced->unvoiced) ~ 1e-90), so
+    using it under the shaun observation model forces an all-voiced path
+    and inverts the viterbi-vs-thresholding ordering (diagnosed round 5;
+    the analytic fallback remains only for label-free serving in
+    cli/transcribe.py)."""
+    from ..hmm import params as hmm_params
     from ..metrics.mel_eval import hz_to_midi
 
     note_range = hz_to_midi(imm.f0s).astype(np.float32)
-    A = imm.transition_matrix
-    pi = np.full(imm.config.U + 1, 1.0 / (imm.config.U + 1))
+    U = imm.config.U
+    bps = float(imm.config.bins_per_note)
+    if stats_notes is not None:
+        q = [
+            hmm_params.quantize_ref_notes(
+                notes, float(note_range[0]), float(note_range[-1]), bps, U
+            )
+            for notes in stats_notes
+        ]
+        stats = hmm_params.count_statistics(q, U)
+        d_max = hmm_params.single_side_d_max(0.01, int(12 * bps))
+        A = hmm_params.shape_transition_matrix(
+            stats.transition_counts, stats.switch, U, d_max, floor=2
+        )
+        pi = hmm_params.shape_init_probs(stats.p_steady)
+    else:
+        A = imm.transition_matrix
+        pi = np.full(U + 1, 1.0 / (U + 1))
     return DecoderSetup(
         transition_matrix=A,
         init_probs=pi,
-        n_bins=imm.config.U,
+        n_bins=U,
         note_min=float(note_range[0]),
-        bins_per_semitone=float(imm.config.bins_per_note),
-        spw=20 if imm.config.U == 721 else max(imm.config.bins_per_note, 2),
+        bins_per_semitone=bps,
+        spw=20 if U == 721 else max(imm.config.bins_per_note, 2),
         voicing_threshold=2.442347,  # log-energy threshold (imm/thresholding.py:80)
         hop_seconds=imm.config.h / imm.config.fs,
         method=method,
@@ -165,7 +198,28 @@ def main(argv=None):
                 rec["fit"] = fit
             tracks.append(rec)
 
-    setup = build_setup(imm)
+    # transition/init statistics: the reference's imm viterbi loads the
+    # data-counted shaped artifacts (main_imm.py:254-270); we count them
+    # from the medleydb VALIDATION split like the other families'
+    # build_decoder_setup (synthetic mode counts from the synthetic
+    # tracks' own labels — there is no other split)
+    if args.synthetic:
+        stats_notes = [t["notes"] for t in tracks]
+    else:
+        import os
+
+        from ..data import medleydb_splits as _splits
+        from ..data.labels import medleydb_label
+        from ..data.vocals import is_vocals_from_sections
+
+        val_tids = _splits()["validation"]
+        if args.debug:
+            val_tids = val_tids[:2]
+        stats_notes = [
+            medleydb_label(tid, is_vocals_from_sections(tid))["notes"]
+            for tid in val_tids
+        ]
+    setup = build_setup(imm, stats_notes=stats_notes)
     out = evaluate_posteriorgrams(setup, tracks)
     print(
         f"thresholding OA {out['raw_mean_oa']:.4f}, "
