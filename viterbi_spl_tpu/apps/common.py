@@ -216,6 +216,39 @@ def make_optimizer(cfg: AppConfig, steps_per_epoch: int):
     return optax.adam(cfg.learning_rate)
 
 
+# jitted inference callables cached per (cfg, model): defining them inside
+# model_logits_for_dataset re-traced AND re-compiled on every call, and
+# closing over `variables` inlined all params as compile-time CONSTANTS —
+# through the axon remote-compile tunnel that cost ~105 s PER VALIDATION
+# EPOCH on TPU (params shipped with the HLO each time; CLAUDE.md's
+# "never jit a closure over a big device array"). Params are arguments
+# here, so one compile per shape serves the whole run. Strong refs keep
+# id()s stable for the cache key.
+_INFERENCE_FORWARD_CACHE: dict = {}
+
+
+def _inference_forwards(cfg: AppConfig, model):
+    key = (id(cfg), id(model))
+    hit = _INFERENCE_FORWARD_CACHE.get(key)
+    if hit is not None and hit[0] is cfg and hit[1] is model:
+        return hit[2], hit[3]
+
+    @jax.jit
+    def fwd(variables, spec):
+        if cfg.input_adapter is not None:
+            spec = cfg.input_adapter(spec)
+        return model.apply(variables, spec, train=False)
+
+    @jax.jit
+    def fwd_masked(variables, spec, valid):
+        if cfg.input_adapter is not None:
+            spec = cfg.input_adapter(spec)
+        return model.apply(variables, spec, train=False, valid_frames=valid)
+
+    _INFERENCE_FORWARD_CACHE[key] = (cfg, model, fwd, fwd_masked)
+    return fwd, fwd_masked
+
+
 def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset,
                              with_voicing: bool = False):
     """Ordered inference over a dataset -> per-track pitch logits [T, n_bins].
@@ -227,12 +260,10 @@ def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset,
     family has no voicing head."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     want_voicing = with_voicing and cfg.voicing_adapter is not None
+    fwd, fwd_masked = _inference_forwards(cfg, model)
 
-    @jax.jit
     def forward(spec):
-        if cfg.input_adapter is not None:
-            spec = cfg.input_adapter(spec)
-        return model.apply(variables, spec, train=False)
+        return fwd(variables, spec)
 
     def split_out(out):
         lg = np.asarray(cfg.logits_adapter(out))[0]
@@ -261,11 +292,8 @@ def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset,
                 )
         return pack(out_list, v_list)
 
-    @jax.jit
     def forward_masked(spec, valid):
-        if cfg.input_adapter is not None:
-            spec = cfg.input_adapter(spec)
-        return model.apply(variables, spec, train=False, valid_frames=valid)
+        return fwd_masked(variables, spec, valid)
 
     per_track: dict[int, list] = {}
     for item in inference_snippets(dataset, cfg.snippet_len):
