@@ -50,6 +50,15 @@ class AppConfig:
     # frames: inference zero-pads chunks (chunk_fixed) instead of serving a
     # ragged final snippet
     fixed_chunks: bool = False
+    # inference normalizes with the track's own chunk-batch statistics
+    # (train=True forward, updates discarded) instead of the BN running
+    # averages. ftanet needs this: its 7 stacked attention modules only
+    # function under per-batch self-correcting normalization — with EMA
+    # stats (even freshly recalibrated at converged params) the eval-mode
+    # output collapses to a constant bin while train-mode RPA on the SAME
+    # validation data is 0.995 (round-5 diagnosis, DESIGN §6.3).
+    # Deterministic: no dropout at inference, stats from the track itself.
+    eval_batch_stats: bool = False
     # optional transform from [B, T, ...] snippet layout to the model's
     # input layout (e.g. tonet wants [B, 3, 360, T])
     input_adapter: Callable | None = None
@@ -249,6 +258,32 @@ def _inference_forwards(cfg: AppConfig, model):
     return fwd, fwd_masked
 
 
+_BATCHSTATS_FORWARD_CACHE: dict = {}
+
+
+def _batchstats_forward(cfg: AppConfig, model):
+    """Jitted chunk-batch-statistics inference forward (AppConfig.
+    eval_batch_stats): train=True normalization, mutated stats discarded,
+    fixed dropout rng (the families using this have no dropout)."""
+    key = (id(cfg), id(model))
+    hit = _BATCHSTATS_FORWARD_CACHE.get(key)
+    if hit is not None and hit[0] is cfg and hit[1] is model:
+        return hit[2]
+
+    @jax.jit
+    def fwd(variables, spec):
+        if cfg.input_adapter is not None:
+            spec = cfg.input_adapter(spec)
+        out, _ = model.apply(
+            variables, spec, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        return out
+
+    _BATCHSTATS_FORWARD_CACHE[key] = (cfg, model, fwd)
+    return fwd
+
+
 def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset,
                              with_voicing: bool = False):
     """Ordered inference over a dataset -> per-track pitch logits [T, n_bins].
@@ -284,6 +319,19 @@ def model_logits_for_dataset(cfg: AppConfig, model, state: TrainState, dataset,
             chunks, _, T = chunk_fixed(
                 track.spectrogram, track.notes, cfg.snippet_len
             )
+            if cfg.eval_batch_stats:
+                # one batch per track, normalized by its own statistics
+                # (see AppConfig.eval_batch_stats)
+                out = _batchstats_forward(cfg, model)(
+                    variables, jnp.asarray(np.stack(chunks))
+                )
+                lg = np.asarray(cfg.logits_adapter(out))
+                lg = lg.reshape(-1, lg.shape[-1])[:T]
+                out_list.append(lg)
+                if want_voicing:
+                    v = np.asarray(cfg.voicing_adapter(out))
+                    v_list.append(v.reshape(-1)[:T])
+                continue
             parts = [split_out(forward(jnp.asarray(c)[None])) for c in chunks]
             out_list.append(np.concatenate([p[0] for p in parts], axis=0)[:T])
             if want_voicing:

@@ -19,6 +19,7 @@ def config() -> AppConfig:
         learning_rate=1e-4,
         feature_shape=(320, 3),
         fixed_chunks=True,
+        eval_batch_stats=True,
     )
 
 
