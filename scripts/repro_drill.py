@@ -220,6 +220,33 @@ def run_imm(env: dict, args) -> dict:
     return out
 
 
+def run_obs_surface(args, env: dict, out_base: str) -> dict:
+    """Attach the sweep-obs (p, scale) validation surface for one family to
+    an existing artifact, reusing its trained checkpoint (no retraining)."""
+    import importlib
+
+    os.environ.update(env)
+    fam = args.obs_surface
+    app = importlib.import_module(f"viterbi_spl_tpu.apps.{fam}")
+    ckpt = str(Path(args.workdir) / args.regime / f"ckpt_{fam}")
+    res = app.main(["sweep-obs", "--debug", "--ckpt", ckpt])
+    surface = dict(
+        ps=[float(p) for p in res["ps"]],
+        scales=[float(s) for s in res["scales"]],
+        viterbi_oa=[[round(float(v), 4) for v in row] for row in res["oa"]],
+        best_p=float(res["best_p"]), best_scale=float(res["best_scale"]),
+        reference_choice=dict(p=0.8, scale=2.0),
+    )
+    json_path = Path(out_base + ".json")
+    results = json.loads(json_path.read_text())
+    results["regimes"][args.regime]["families"][fam]["obs_surface"] = surface
+    json_path.write_text(json.dumps(results, indent=1))
+    Path(out_base + ".md").write_text(render_markdown(results, args))
+    print(f"obs surface ({fam}, {args.regime}): best p={surface['best_p']}, "
+          f"scale={surface['best_scale']}; wrote {out_base}.md / .json")
+    return results
+
+
 def _regime_markdown(reg: dict) -> list[str]:
     lines = []
     for fam, r in reg["families"].items():
@@ -276,6 +303,27 @@ def _regime_markdown(reg: dict) -> list[str]:
                 row.append(f"{r['results'][m][c]['viterbi_oa']:.4f}")
             lines.append("| " + " | ".join(row) + " |")
         lines.append("")
+        if "obs_surface" in r:
+            s = r["obs_surface"]
+            lines += [
+                "### shaun observation (p, scale) validation surface "
+                "(viterbi OA)",
+                "",
+                "| p \\ scale | " + " | ".join(f"{v:g}" for v in s["scales"])
+                + " |",
+                "|---|" + "---|" * len(s["scales"]),
+            ]
+            for i, p in enumerate(s["ps"]):
+                lines.append(
+                    f"| {p:g} | " + " | ".join(
+                        f"{v:.4f}" for v in s["viterbi_oa"][i]) + " |")
+            lines += [
+                "",
+                f"- argmax: p={s['best_p']:g}, scale={s['best_scale']:g}; "
+                f"reference validation choice p=0.8, scale=2 "
+                "(dcnet/softmax_viterbi.py:41-50)",
+                "",
+            ]
     return lines
 
 
@@ -350,12 +398,21 @@ def main(argv=None):
     ap.add_argument("--small", action="store_true",
                     help="test scale: short tracks, few epochs")
     ap.add_argument("--fresh-corpus", action="store_true")
+    ap.add_argument("--obs-surface", metavar="FAMILY", default=None,
+                    help="skip training: run the sweep-obs (p, scale) grid "
+                    "(tonet/hyper_parameter_selection.py; reference choice "
+                    "p=0.8 scale=2, dcnet/softmax_viterbi.py:41-50) on the "
+                    "family's ALREADY-TRAINED checkpoint in the workdir and "
+                    "merge the surface into the artifact")
     args = ap.parse_args(argv)
     if args.small:
         args.duration = 8.0
         args.ext_duration = 4.0
-        args.epochs = 8
-        args.patience = 8
+        # the hard-v2 regime is calibrated at FULL budget (CLAUDE.md:
+        # --small underestimates difficulty); give it more epochs so the
+        # learnability assertion clears the chance floor
+        args.epochs = 14 if args.regime == "hard" else 8
+        args.patience = 14 if args.regime == "hard" else 8
         args.steps_per_epoch = 12
 
     workdir = Path(args.workdir)
@@ -364,7 +421,7 @@ def main(argv=None):
     corpus_root = workdir / ("corpus_hard" if hard else "corpus")
     manifest = corpus_root / "manifest.json"
     want = dict(duration=args.duration, ext_duration=args.ext_duration,
-                rich=True, hard=hard, version=3)
+                rich=True, hard=hard, version=4)  # v4: hard-v2 gains
     if args.fresh_corpus or not manifest.exists() or \
             json.loads(manifest.read_text()) != want:
         import shutil
@@ -383,6 +440,10 @@ def main(argv=None):
         manifest.write_text(json.dumps(want))
     env = json.loads((corpus_root / "env.json").read_text())
 
+    out_base0 = args.out or str(REPO / "REPRO_r05")
+    if args.obs_surface:
+        return run_obs_surface(args, env, out_base0)
+
     results = dict(
         generated=time.strftime("%Y-%m-%d %H:%M:%S"),
         config=dict(duration=args.duration, epochs=args.epochs,
@@ -392,6 +453,32 @@ def main(argv=None):
     )
     famdir = workdir / args.regime
     famdir.mkdir(exist_ok=True)
+
+    out_base = out_base0
+    json_path = Path(out_base + ".json")
+
+    def _write(results):
+        # merge with a previous invocation over the same artifact (e.g.
+        # the trained families first, then a separate --families imm run,
+        # or the clean regime first and the hard regime after). Written
+        # after EVERY family so a crash in family N can't lose 1..N-1.
+        if json_path.exists():
+            prev = json.loads(json_path.read_text())
+            merged = dict(prev)
+            merged.update(
+                {k: v for k, v in results.items() if k != "regimes"})
+            regs = dict(prev.get("regimes", {}))
+            for reg, rv in results["regimes"].items():
+                cur = regs.get(reg, dict(families={}))
+                cur["families"] = {**cur.get("families", {}),
+                                   **rv["families"]}
+                regs[reg] = cur
+            merged["regimes"] = regs
+            results = merged
+        json_path.write_text(json.dumps(results, indent=1))
+        Path(out_base + ".md").write_text(render_markdown(results, args))
+        return results
+
     for fam in args.families.split(","):
         print(f"=== {fam} ({args.regime}) ===", flush=True)
         if fam == "imm":
@@ -400,25 +487,7 @@ def main(argv=None):
         else:
             results["regimes"][args.regime]["families"][fam] = \
                 run_family(fam, famdir, env, args)
-
-    out_base = args.out or str(REPO / "REPRO_r05")
-    json_path = Path(out_base + ".json")
-    if json_path.exists():
-        # merge with a previous invocation over the same artifact (e.g.
-        # the trained families first, then a separate --families imm run,
-        # or the clean regime first and the hard regime after)
-        prev = json.loads(json_path.read_text())
-        merged = dict(prev)
-        merged.update({k: v for k, v in results.items() if k != "regimes"})
-        regs = dict(prev.get("regimes", {}))
-        for reg, rv in results["regimes"].items():
-            cur = regs.get(reg, dict(families={}))
-            cur["families"] = {**cur.get("families", {}), **rv["families"]}
-            regs[reg] = cur
-        merged["regimes"] = regs
-        results = merged
-    json_path.write_text(json.dumps(results, indent=1))
-    Path(out_base + ".md").write_text(render_markdown(results, args))
+        results = _write(results)
     print(f"wrote {out_base}.md / .json")
     return results
 

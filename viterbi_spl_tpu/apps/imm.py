@@ -14,8 +14,10 @@ from __future__ import annotations
 
 import argparse
 
+import jax.numpy as jnp
 import numpy as np
 
+from ..frontend.stft import complex_to_host
 from ..harness.evaluate import DecoderSetup, evaluate_posteriorgrams
 from ..models.adapters import imm_pitch_logits
 from ..models.imm import IMM, IMMConfig
@@ -47,7 +49,7 @@ def synthetic_tracks(
         y = sum((0.6 / k) * np.sin(2 * np.pi * f0 * k * t) for k in range(1, 6))
         y = (y + 0.02 * rng.normal(size=n)).astype(np.float32)
         if keep_fits:
-            SX = np.abs(np.asarray(imm.stft.stft(y))) ** 2
+            SX = np.asarray(jnp.abs(imm.stft.stft(y))) ** 2
             fit = imm.fit(SX, seed=seed)
             logits_un = imm.logits_from_fit(fit, SX)
         else:
@@ -184,7 +186,7 @@ def main(argv=None):
             # keep SX + the NMF fit when the 'original' method is requested
             # (it decodes the raw HF0 salience; the reference runs it on
             # real corpora too, imm/original_adc04_performance.py)
-            SX = np.abs(np.asarray(imm.stft.stft(samples))) ** 2
+            SX = np.asarray(jnp.abs(imm.stft.stft(samples))) ** 2
             fit = imm.fit(SX, seed=0)
             logits = imm_pitch_logits(imm.logits_from_fit(fit, SX))
             from ..data.labels import medleydb_label
@@ -239,7 +241,7 @@ def main(argv=None):
             aux: list[dict] = []
 
             def feature(samples, _aux=aux):
-                SX = np.abs(np.asarray(imm.stft.stft(samples))) ** 2
+                SX = np.asarray(jnp.abs(imm.stft.stft(samples))) ** 2
                 fit = imm.fit(SX, seed=0)
                 if args.original:
                     _aux.append(dict(SX=SX, fit=fit))
@@ -348,8 +350,8 @@ def separate_stereo_samples(
     Returns dict(melody=[n, 2], accompaniment=[n, 2] float32,
     states=[T] decoded states, voiced=[T] bool).
     """
-    XL = np.asarray(imm.stft.stft(left))
-    XR = np.asarray(imm.stft.stft(right))
+    XL = complex_to_host(imm.stft.stft(left))
+    XR = complex_to_host(imm.stft.stft(right))
     SXL = np.abs(XL) ** 2
     SXR = np.abs(XR) ** 2
     # the STFT is linear, so the mono-mix spectrum is the channel mean of

@@ -171,8 +171,12 @@ def render(freqs: np.ndarray, hop_seconds: float, sr: int, length: int,
         sig = sig * gate
         if hard:
             # tremolo: weak phases every ~200 ms where the melody nearly
-            # vanishes under the accompaniment
-            trem = 1.0 - 0.75 * 0.5 * (
+            # vanishes under the accompaniment. Gains are the v2
+            # calibration: v1 (0.75/0.30/0.02+0.04) saturated to val OA
+            # 0.95+ at the FULL training budget — full-scale training
+            # learns shallow degradation too well, so difficulty must be
+            # calibrated at full budget (--small underestimates).
+            trem = 1.0 - 0.92 * 0.5 * (
                 1.0 + np.sin(2 * np.pi * rng.uniform(4.0, 6.0) * t
                              + rng.uniform(0, 2 * np.pi))
             )
@@ -190,7 +194,7 @@ def render(freqs: np.ndarray, hop_seconds: float, sr: int, length: int,
             acc_sig = np.zeros(length)
             for k in (1, 3, 5):  # odd partials: a distinguishable timbre
                 alias = np.interp(t, t_frames, (acc * k < sr / 2).astype(float))
-                acc_sig += (0.30 / k) * np.sin(k * acc_phase) * alias
+                acc_sig += (0.45 / k) * np.sin(k * acc_phase) * alias
             # slow AM on the accompaniment at an incommensurate rate, so
             # the melody/distractor dominance keeps trading places
             acc_am = 0.65 + 0.35 * np.sin(
@@ -198,8 +202,8 @@ def render(freqs: np.ndarray, hop_seconds: float, sr: int, length: int,
                 + rng.uniform(0, 2 * np.pi)
             )
             sig = sig + acc_sig * acc_am
-            sig += 0.02 * rng.normal(size=length)
-            sig += 0.04 * _pink_noise(length, rng)
+            sig += 0.04 * rng.normal(size=length)
+            sig += 0.08 * _pink_noise(length, rng)
         else:
             sig += 0.005 * np.random.default_rng(0).normal(size=length)
     else:

@@ -18,6 +18,27 @@ import numpy as np
 from scipy.signal.windows import blackmanharris, hann
 
 
+def complex_to_host(x) -> np.ndarray:
+    """Device complex array -> host numpy.
+
+    The axon TPU tunnel cannot transfer complex dtypes between host and
+    device (UNIMPLEMENTED); FFTs compute fine ON device, so complex values
+    must cross the boundary as separate real/imag f32 planes.
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+
+
+def complex_to_device(x) -> jnp.ndarray:
+    """Host complex array -> device, under the same tunnel constraint."""
+    if not isinstance(x, np.ndarray) or not np.iscomplexobj(x):
+        return jnp.asarray(x)
+    xr = jnp.asarray(np.ascontiguousarray(x.real, dtype=np.float32))
+    xi = jnp.asarray(np.ascontiguousarray(x.imag, dtype=np.float32))
+    return jax.lax.complex(xr, xi)
+
+
 def frame_signal(samples: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     """[N] -> [n_frames, frame_length] with stride `hop` (no padding).
 
@@ -48,7 +69,8 @@ def jdc_spectrogram(samples: np.ndarray, sr: int = 8000) -> np.ndarray:
     n_fft, hop = 1024, 80
     window = hann(n_fft, sym=False).astype(np.float32)
     y = np.pad(np.asarray(samples, np.float32), n_fft // 2, mode="reflect")
-    spec = np.abs(np.asarray(stft_frames(jnp.asarray(y), jnp.asarray(window), n_fft, hop)))
+    # abs ON device: the axon tunnel cannot read back complex dtypes
+    spec = np.asarray(jnp.abs(stft_frames(jnp.asarray(y), jnp.asarray(window), n_fft, hop)))
 
     # librosa.power_to_db(ref=np.max, amin=1e-10, top_db=80)
     amin = 1e-10
@@ -91,7 +113,7 @@ class SinebellSTFT:
 
     def istft(self, spec) -> jnp.ndarray:
         w, h = self.w, self.h
-        frames = jnp.fft.irfft(jnp.asarray(spec), n=w, axis=-1)
+        frames = jnp.fft.irfft(complex_to_device(spec), n=w, axis=-1)
         frames = frames * jnp.asarray(self.window)[None, :]
         n_frames = frames.shape[0]
         n_samples = (n_frames - 1) * h + w

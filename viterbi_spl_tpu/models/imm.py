@@ -624,7 +624,7 @@ class IMM:
     def logits(self, samples: np.ndarray, seed: int = 0) -> np.ndarray:
         """Full per-track chain: samples -> log10 Wiener energies + 6,
         [U, N] (imm/tf_imm.py:659-678)."""
-        SX = np.abs(np.asarray(self.stft.stft(samples))) ** 2
+        SX = np.asarray(jnp.abs(self.stft.stft(samples))) ** 2
         result = self.fit(SX, seed=seed)
         return self.logits_from_fit(result, SX)
 
