@@ -214,7 +214,9 @@ class NSGT:
         return self._forward(jnp.asarray(samples))
 
     def inverse(self, coeffs) -> jnp.ndarray:
-        return self._inverse(jnp.asarray(coeffs))
+        from .stft import complex_to_device
+
+        return self._inverse(complex_to_device(coeffs))
 
     # ------------------------------------------------------------------
     def transform_track(self, samples: np.ndarray) -> np.ndarray:
@@ -240,7 +242,7 @@ class NSGT:
             # but a serving user may transcribe a clip shorter than 2^17
             # samples)
             seg = np.pad(samples, (0, self.Ls - n))
-            mag = np.abs(np.asarray(self._forward(jnp.asarray(seg))))
+            mag = np.asarray(jnp.abs(self._forward(jnp.asarray(seg))))
             out = mag[:, :frames_before]
             return np.require(out.T.astype(np.float32), requirements=["C"])
         r = (frames_before - payload) % (n_snippets - 1)
@@ -258,7 +260,7 @@ class NSGT:
             seg = samples[max(0, start) * hop : min(end, frames_after) * hop]
             seg = np.pad(seg, (pre, post))
             assert len(seg) == self.Ls
-            mag = np.abs(np.asarray(self._forward(jnp.asarray(seg))))
+            mag = np.asarray(jnp.abs(self._forward(jnp.asarray(seg))))
             keep = hop_frames if k < n_snippets - 1 else payload
             parts.append(mag[:, cyc : cyc + keep])
         out = np.concatenate(parts, axis=1)[:, :frames_before]
