@@ -98,6 +98,12 @@ FAMILY_BUDGET = {
     # survive the flat phase or early stop fires on the epoch-0 zero
     # (observed in round 4; not run to convergence for wall-clock)
     "ftanet": dict(steps_per_epoch=24, epochs=30, patience=12),
+    # dcnet: the deepest model + the 256-d NSGT features learn slowest —
+    # 16 epochs x 24 steps left train loss still descending linearly
+    # (0.295 -> 0.221) with rpa_wide 0.32 but VRR 0.09, and patience=6 on
+    # the noisy near-chance val curve fired long before voicing recall
+    # emerged. Double the steps, triple the patience.
+    "dcnet": dict(steps_per_epoch=48, epochs=40, patience=12),
 }
 
 

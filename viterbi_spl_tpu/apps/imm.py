@@ -100,6 +100,7 @@ def build_setup(
     note_range = hz_to_midi(imm.f0s).astype(np.float32)
     U = imm.config.U
     bps = float(imm.config.bins_per_note)
+    stats = None
     if stats_notes is not None:
         q = [
             hmm_params.quantize_ref_notes(
@@ -108,6 +109,13 @@ def build_setup(
             for notes in stats_notes
         ]
         stats = hmm_params.count_statistics(q, U)
+        if not np.all(stats.switch.sum(axis=1) > 0.999):
+            # degenerate stats (e.g. all-voiced synthetic tracks observe
+            # no unvoiced frames, so the unvoiced switch row has zero
+            # counts): shaping needs both states — fall back to the
+            # analytic matrix like the label-free serving path
+            stats = None
+    if stats is not None:
         d_max = hmm_params.single_side_d_max(0.01, int(12 * bps))
         A = hmm_params.shape_transition_matrix(
             stats.transition_counts, stats.switch, U, d_max, floor=2
