@@ -45,6 +45,12 @@ def config() -> AppConfig:
         learning_rate=1e-4,
         feature_shape=(3, 360),
         fixed_chunks=True,
+        # like ftanet, the attention/transformer branches only function
+        # under per-batch self-correcting normalization: first
+        # convergence-grade run had train OA 0.86+ with eval-mode val OA
+        # stuck at 0.18 despite ~settled EMA stats (see
+        # AppConfig.eval_batch_stats / DESIGN ftanet note)
+        eval_batch_stats=True,
         input_adapter=_input_adapter,
         # the original module's warm-up/decay schedule feeds the optimizer
         # (tonet/model/tonet.py:474-490 configure_optimizers)
